@@ -1,0 +1,402 @@
+"""Module executor: lowers Neptune-TPU IR functions to jittable JAX callables.
+
+This layer plays the combined role of the reference's StructureLowering +
+RuntimeLowering + compiled-code loading:
+
+  * opdefs become cached traced callables (reference lowers them to
+    `func.func` + `func.call`, `lib/Passes/StructureLowering.cpp:30-141`;
+    solver callbacks then reach them via dlsym at runtime,
+    `NeptunePETScRuntime.cpp:182-230` — in JAX the callable is closed over at
+    trace time, SURVEY.md §7 hard part (d));
+  * solver ops dispatch into `neptune_tpu.solvers` (reference emits
+    `_neptune_rt_<runtime>_…` shim calls, `lib/Passes/RuntimeLowering.cpp`);
+  * field buffer semantics (wrap/load/store/unwrap) run against a per-call
+    storage-cell environment, reproducing the reference's memref mutation
+    semantics inside a functional trace.
+
+The returned callables are pure jnp-in/jnp-out functions: wrap them in
+`jax.jit` (or let `frontend.jit_compile` do it) and the whole program —
+stencil sweeps, Krylov loops, Newton iterations — compiles to one XLA
+executable per entry point.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..config import config
+from ..ir.core import Function, Module, Operation
+from ..ir.types import (
+    Bounds,
+    FieldType,
+    MatrixType,
+    ScalarType,
+    TempType,
+    TensorType,
+    TimeMethod,
+)
+from ..solvers import krylov
+from ..solvers.assemble import MatrixHandle
+from ..solvers.newton import newton_krylov, picard
+from ..solvers.precond import make_preconditioner
+from . import jnp_backend
+
+
+class CompiledModule:
+    """Executable view of a verified module."""
+
+    def __init__(self, module: Module, backend: Optional[str] = None):
+        self.module = module
+        self.backend = backend or config.backend
+        self._opdef_cache: dict[str, Callable] = {}
+        self._fn_cache: dict[str, Callable] = {}
+
+    # ------------------------------------------------------------------
+    # public entry points
+    # ------------------------------------------------------------------
+
+    def opdef(self, name: str) -> Callable:
+        """Traced callable for a linear/nonlinear opdef: (*arrays) -> array(s)."""
+        if name not in self._opdef_cache:
+            fn = self.module.lookup(name)
+            assert fn.is_opdef, f"@{name} is not an opdef"
+            self._opdef_cache[name] = self._make_callable(fn)
+        return self._opdef_cache[name]
+
+    def function(self, name: str) -> Callable:
+        """Traced callable for a plain function."""
+        if name not in self._fn_cache:
+            fn = self.module.lookup(name)
+            self._fn_cache[name] = self._make_callable(fn)
+        return self._fn_cache[name]
+
+    def jit_function(self, name: str, **jit_kwargs) -> Callable:
+        return jax.jit(self.function(name), **jit_kwargs)
+
+    # ------------------------------------------------------------------
+    # evaluation
+    # ------------------------------------------------------------------
+
+    def _make_callable(self, fn: Function) -> Callable:
+        def run(*args):
+            if len(args) != len(fn.body.args):
+                raise TypeError(
+                    f"@{fn.name} expects {len(fn.body.args)} args, got {len(args)}"
+                )
+            env: dict[int, object] = {}
+            cells: dict[int, jnp.ndarray] = {}
+            for barg, a in zip(fn.body.args, args):
+                if isinstance(barg.type, (TensorType, TempType)):
+                    a = jnp.asarray(a, jnp.dtype(barg.type.element))
+                    want = (
+                        barg.type.bounds.shape
+                        if isinstance(barg.type, TempType)
+                        else barg.type.shape
+                    )
+                    if a.shape != want:
+                        raise TypeError(
+                            f"@{fn.name} arg {barg.name_hint}: shape {a.shape} != "
+                            f"declared {barg.type}"
+                        )
+                    env[barg.uid] = a
+                elif isinstance(barg.type, FieldType):
+                    a = jnp.asarray(a, jnp.dtype(barg.type.element))
+                    env[barg.uid] = a
+                    cells[barg.uid] = a
+                elif isinstance(barg.type, ScalarType):
+                    env[barg.uid] = jnp.asarray(
+                        a, jnp_backend._scalar_dtype(barg.type)
+                    )
+                else:
+                    env[barg.uid] = a
+
+            outs = self._run_block(fn, env, cells)
+            if outs is None:
+                return None
+            return outs[0] if len(outs) == 1 else tuple(outs)
+
+        run.__name__ = f"neptune_{fn.name}"
+        return run
+
+    def _run_block(self, fn: Function, env: dict, cells: dict):
+        result = None
+        for op in fn.body.ops:
+            result = self._eval_op(op, env, cells)
+        return result
+
+    def _eval_op(self, op: Operation, env: dict, cells: dict):
+        """Evaluate one field-level op; returns terminator values if any."""
+        name = op.name
+        get = lambda v: env[v.uid]  # noqa: E731
+
+        if name == "neptune.wrap":
+            arr = get(op.operands[0])
+            env[op.results[0].uid] = arr
+            cells[op.results[0].uid] = arr
+        elif name == "neptune.unwrap":
+            env[op.results[0].uid] = self._cell_of(op.operands[0], env, cells)
+        elif name == "neptune.load":
+            env[op.results[0].uid] = self._cell_of(op.operands[0], env, cells)
+        elif name == "neptune.store":
+            temp = get(op.operands[0])
+            field = op.operands[1]
+            cur = self._cell_of(field, env, cells)
+            bounds: Optional[Bounds] = op.attrs.get("bounds")
+            if bounds is not None:
+                ft: FieldType = field.type
+                tt: TempType = op.operands[0].type
+                dst = bounds.rel_slices(ft.bounds)
+                src = bounds.rel_slices(tt.bounds)
+                cur = cur.at[dst].set(temp[src])
+            else:
+                cur = jnp.asarray(temp, cur.dtype)
+            self._set_cell(field, cur, cells)
+        elif name == "neptune.as_tensor":
+            env[op.results[0].uid] = get(op.operands[0])
+        elif name == "neptune.from_tensor":
+            env[op.results[0].uid] = jnp.asarray(
+                get(op.operands[0]), jnp.dtype(op.results[0].type.element)
+            )
+        elif name == "neptune.apply":
+            env[op.results[0].uid] = self._execute_apply(
+                op, [get(o) for o in op.operands]
+            )
+        elif name == "neptune.reduce":
+            env[op.results[0].uid] = jnp_backend.execute_reduce(
+                op, get(op.operands[0])
+            )
+        elif name in ("neptune.apply_linear", "neptune.apply_nonlinear"):
+            callee = self.opdef(op.attrs["symbol"])
+            outs = callee(*[get(o) for o in op.operands])
+            if len(op.results) == 1:
+                env[op.results[0].uid] = outs
+            else:
+                for r, o in zip(op.results, outs):
+                    env[r.uid] = o
+        elif name == "neptune.assemble_matrix":
+            env[op.results[0].uid] = self._assemble(op)
+        elif name == "neptune.solve_linear":
+            env[op.results[0].uid] = self._solve_linear(op, env)
+        elif name == "neptune.solve_nonlinear":
+            self._solve_nonlinear(op, env)
+        elif name == "neptune.time_advance":
+            env[op.results[0].uid] = self._time_advance(op, env)
+        elif name == "neptune.time_advance_runtime":
+            env[op.results[0].uid] = self._time_advance_runtime(op, env)
+        elif name in ("neptune.return", "neptune.yield"):
+            return [get(o) for o in op.operands]
+        elif name == "arith.constant":
+            env[op.results[0].uid] = jnp.asarray(
+                op.attrs["value"], jnp_backend._scalar_dtype(op.results[0].type)
+            )
+        elif name in jnp_backend._BINOPS:
+            env[op.results[0].uid] = jnp_backend._BINOPS[name](
+                get(op.operands[0]), get(op.operands[1])
+            )
+        elif name in jnp_backend._UNARY:
+            env[op.results[0].uid] = jnp_backend._UNARY[name](get(op.operands[0]))
+        elif name == "arith.cmp":
+            env[op.results[0].uid] = jnp_backend._CMPS[op.attrs["pred"]](
+                get(op.operands[0]), get(op.operands[1])
+            )
+        elif name == "arith.select":
+            c, a, bb = (get(o) for o in op.operands)
+            env[op.results[0].uid] = jnp.where(c, a, bb)
+        elif name == "arith.cast":
+            env[op.results[0].uid] = get(op.operands[0]).astype(
+                jnp_backend._scalar_dtype(op.results[0].type)
+            )
+        else:
+            raise NotImplementedError(f"executor: unhandled op {name}")
+        return None
+
+    # ------------------------------------------------------------------
+    # op implementations
+    # ------------------------------------------------------------------
+
+    def _cell_of(self, field_value, env, cells):
+        if field_value.uid in cells:
+            return cells[field_value.uid]
+        return env[field_value.uid]
+
+    def _set_cell(self, field_value, arr, cells):
+        cells[field_value.uid] = arr
+
+    def _execute_apply(self, op: Operation, operand_arrays: Sequence):
+        if self.backend == "pallas" or self.backend == "auto":
+            from . import pallas_backend
+
+            result = pallas_backend.try_execute_apply(op, operand_arrays)
+            if result is not None:
+                return result
+            if self.backend == "pallas":
+                raise NotImplementedError(
+                    f"pallas backend cannot lower apply with bounds "
+                    f"{op.attrs['bounds']} (rank/dtype unsupported)"
+                )
+        return jnp_backend.execute_apply(op, operand_arrays)
+
+    def _assemble(self, op: Operation) -> MatrixHandle:
+        sym = op.attrs["symbol"]
+        fn = self.module.lookup(sym)
+        tt: TempType = fn.ftype.inputs[0]
+        return MatrixHandle(
+            symbol=sym,
+            matvec=self.opdef(sym),
+            temp_type=tt,
+            structure_key_hash=fn.attrs.get("structure_key_hash", 0),
+            halo=fn.attrs.get("halo", ()),
+        )
+
+    def _solve_linear(self, op: Operation, env):
+        handle: MatrixHandle = env[op.operands[0].uid]
+        b = env[op.operands[1].uid]
+        if not isinstance(handle, MatrixHandle):
+            raise TypeError("solve_linear operand 0 must be an assembled matrix handle")
+        solver = op.attrs["solver"]
+        tol = op.attrs["tol"]
+        max_iters = op.attrs["max_iters"]
+        precond = op.attrs.get("precond", "none")
+        M = None
+        if precond not in (None, "none"):
+            like = jnp.zeros(handle.grid_shape, handle.dtype)
+            dense = handle.dense() if precond == "ssor" else None
+            M = make_preconditioner(
+                precond, handle.matvec, like, handle.halo, dense_matrix=dense
+            )
+        if solver == "direct":
+            x, info = krylov.direct(handle.dense(), b)
+        else:
+            x, info = krylov.solve(
+                handle.matvec, b, solver=solver, tol=tol, maxiter=max_iters, M=M
+            )
+        return x
+
+    def _solve_nonlinear(self, op: Operation, env):
+        sym = op.attrs["residual"]
+        n_state = op.attrs["num_states"]
+        residual_fn = self.opdef(sym)
+        states0 = tuple(env[o.uid] for o in op.operands[:n_state])
+        captures = tuple(env[o.uid] for o in op.operands[n_state:])
+
+        def residual(states):
+            out = residual_fn(*states, *captures)
+            return out if isinstance(out, tuple) else (out,)
+
+        method = op.attrs["method"]
+        if method in ("newton", "newton-krylov"):
+            x, info = newton_krylov(
+                residual,
+                states0,
+                tol=op.attrs["tol"],
+                max_iters=op.attrs["max_iters"],
+                krylov_tol=op.attrs.get("krylov_tol", 1e-6),
+                krylov_iters=op.attrs.get("krylov_iters", 200),
+            )
+        elif method == "picard":
+            x, info = picard(
+                residual, states0, tol=op.attrs["tol"], max_iters=op.attrs["max_iters"]
+            )
+        else:
+            raise ValueError(f"unknown nonlinear method {method!r}")
+        for r, v in zip(op.results, x):
+            env[r.uid] = v
+
+    def _time_advance(self, op: Operation, env):
+        """Direct interpretation of time_advance. Normally the high-level pass
+        (`neptune_tpu.passes.high_level`) rewrites this op away first
+        (reference `lib/Passes/HighLevelConvertion.cpp:57-173`); interpreting
+        it here keeps un-lowered modules executable (interpreter parity)."""
+        state = env[op.operands[0].uid]
+        dt = env[op.operands[1].uid]
+        method = TimeMethod(op.attrs["method"])
+        if method == TimeMethod.EXPLICIT:
+            return self._explicit_step(op, state, dt)
+        if method == TimeMethod.IMPLICIT_LINEAR:
+            sym = op.attrs["system"]
+            fn = self.module.lookup(sym)
+            handle = MatrixHandle(
+                symbol=sym,
+                matvec=self.opdef(sym),
+                temp_type=fn.ftype.inputs[0],
+                structure_key_hash=fn.attrs.get("structure_key_hash", 0),
+                halo=fn.attrs.get("halo", ()),
+            )
+            M = None
+            precond = op.attrs.get("precond", "none")
+            if precond not in (None, "none"):
+                like = jnp.zeros(handle.grid_shape, handle.dtype)
+                M = make_preconditioner(precond, handle.matvec, like, handle.halo)
+            x, info = krylov.solve(
+                handle.matvec,
+                state,
+                solver=op.attrs["solver"],
+                tol=op.attrs["tol"],
+                maxiter=op.attrs["max_iters"],
+                M=M,
+            )
+            return x
+        if method == TimeMethod.IMPLICIT_NONLINEAR:
+            sym = op.attrs["residual"]
+            res_fn = self.opdef(sym)
+
+            def residual(states):
+                return (res_fn(states[0], state),)
+
+            x, info = newton_krylov(
+                residual,
+                (state,),
+                tol=op.attrs["tol"],
+                max_iters=op.attrs["max_iters"],
+            )
+            return x[0]
+        # RUNTIME: dispatch on the (traced) method scalar
+        raise NotImplementedError(
+            "time_advance with method=runtime must be lowered by the "
+            "high-level pass to time_advance_runtime first"
+        )
+
+    def _explicit_step(self, op: Operation, state, dt):
+        rhs_sym = op.attrs["rhs"]
+        rhs_fn = self.module.lookup(rhs_sym)
+        rhs = self.opdef(rhs_sym)
+        scheme = op.attrs.get("scheme", "euler")
+        if scheme == "euler":
+            return state + dt * rhs(state)
+        if scheme == "rk2":
+            k1 = rhs(state)
+            k2 = rhs(state + dt * k1)
+            return state + 0.5 * dt * (k1 + k2)
+        if scheme == "rk4":
+            k1 = rhs(state)
+            k2 = rhs(state + 0.5 * dt * k1)
+            k3 = rhs(state + 0.5 * dt * k2)
+            k4 = rhs(state + dt * k3)
+            return state + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+        raise ValueError(f"unknown explicit scheme {scheme!r}")
+
+    def _time_advance_runtime(self, op: Operation, env):
+        """lax.switch over the runtime method code. Method codes follow the
+        reference *runtime* convention (`NeptunePETScRuntime.cpp:637-717`):
+        0 = pass-through, 1 = copy, 2 = forward Euler — note these differ from
+        the IR TimeMethod enum, a quirk SURVEY.md §2.3 records; we reproduce
+        the runtime codes for the runtime op."""
+        state = env[op.operands[0].uid]
+        dt = env[op.operands[1].uid]
+        method = jnp.asarray(env[op.operands[2].uid], jnp.int32)
+        rhs_sym = op.attrs.get("rhs")
+        rhs = self.opdef(rhs_sym) if rhs_sym else (lambda s: jnp.zeros_like(s))
+
+        branches = [
+            lambda s: s,  # 0: pass-through
+            lambda s: s + 0.0,  # 1: copy
+            lambda s: s + dt * rhs(s),  # 2: forward Euler
+        ]
+        return jax.lax.switch(jnp.clip(method, 0, 2), branches, state)
+
+
+def compile_module(module: Module, backend: Optional[str] = None) -> CompiledModule:
+    return CompiledModule(module, backend)

@@ -1,0 +1,186 @@
+"""Pure-jnp apply/reduce execution — the reference dataflow lowering.
+
+This is the TPU rebuild of the reference's `neptune-ir-dataflow-lowering` CPU
+path (`lib/Passes/DataflowLowering.cpp:258-448`): where the reference emits a
+rank-deep `scf.for` nest with `memref.load` at `iv + offset − input_lb`, here
+each `access` becomes a whole-array shift (`jnp.roll`) and the scalar body is
+evaluated vectorized over the full logical domain — XLA fuses the shifts and
+arithmetic into a single HBM-bandwidth-bound elementwise kernel, which is the
+idiomatic way to hit the stencil roofline on TPU (the hand-tiled alternative
+lives in `pallas_backend`).
+
+Semantics reproduced exactly:
+  * storage normalization — logical `[lb, ub)` to 0-based physical arrays
+    (`DataflowLowering.cpp:41-104`);
+  * copy-through boundary contract — the apply result is seeded with input0
+    (zeros when no inputs) and only the `bounds` sub-domain is overwritten
+    (`DataflowLowering.cpp:281-287`);
+  * out-of-domain `access` reads are *unspecified* (they wrap here); programs
+    must mask them with `select`, as the reference's boundary-residual kernels
+    do with `scf.if` (`smoke_time_advance_nonlinear.mlir:37-80`).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ir.core import Block, Operation, Value
+from ..ir.types import Bounds, ScalarType, TempType
+
+_BINOPS = {
+    "arith.add": jnp.add,
+    "arith.sub": jnp.subtract,
+    "arith.mul": jnp.multiply,
+    "arith.div": jnp.divide,
+    "arith.pow": jnp.power,
+    "arith.min": jnp.minimum,
+    "arith.max": jnp.maximum,
+    "arith.and": jnp.logical_and,
+    "arith.or": jnp.logical_or,
+}
+
+_UNARY = {
+    "arith.neg": jnp.negative,
+    "arith.not": jnp.logical_not,
+    "math.exp": jnp.exp,
+    "math.log": jnp.log,
+    "math.sqrt": jnp.sqrt,
+    "math.sin": jnp.sin,
+    "math.cos": jnp.cos,
+    "math.tan": jnp.tan,
+    "math.tanh": jnp.tanh,
+    "math.abs": jnp.abs,
+    "math.erf": jax.scipy.special.erf,
+}
+
+_CMPS = {
+    "eq": jnp.equal,
+    "ne": jnp.not_equal,
+    "lt": jnp.less,
+    "le": jnp.less_equal,
+    "gt": jnp.greater,
+    "ge": jnp.greater_equal,
+}
+
+
+def _scalar_dtype(t: ScalarType):
+    return {
+        "float64": jnp.float64,
+        "float32": jnp.float32,
+        "bfloat16": jnp.bfloat16,
+        "index": jnp.int32,
+        "int32": jnp.int32,
+        "bool": jnp.bool_,
+    }[t.name]
+
+
+def shift_read(arr: jnp.ndarray, offset: Sequence[int]) -> jnp.ndarray:
+    """view[i] = arr[i + offset] with wrap at the edges (unspecified zone)."""
+    if all(o == 0 for o in offset):
+        return arr
+    return jnp.roll(arr, shift=tuple(-o for o in offset), axis=tuple(range(len(offset))))
+
+
+def eval_apply_body(
+    body: Block,
+    rank: int,
+    num_inputs: int,
+    out_type: TempType,
+    input_arrays: Sequence[jnp.ndarray],
+    scalar_args: Sequence,
+) -> jnp.ndarray:
+    """Vectorized evaluation of an apply region over the full logical domain.
+
+    Returns the computed array spanning out_type.bounds (caller applies the
+    copy-through interior masking).
+    """
+    shape = out_type.bounds.shape
+    lb = out_type.bounds.lb
+    env: dict[int, jnp.ndarray] = {}
+
+    # block args: rank index IVs (logical coordinates), temps, scalars
+    for d in range(rank):
+        iv = jax.lax.broadcasted_iota(jnp.int32, shape, d) + lb[d]
+        env[body.args[d].uid] = iv
+    for k in range(num_inputs):
+        env[body.args[rank + k].uid] = input_arrays[k]
+    for k, s in enumerate(scalar_args):
+        env[body.args[rank + num_inputs + k].uid] = s
+
+    yielded = None
+    for op in body.ops:
+        if op.name == "neptune.access":
+            src = env[op.operands[0].uid]
+            env[op.results[0].uid] = shift_read(src, op.attrs["offset"])
+        elif op.name == "arith.constant":
+            dt = _scalar_dtype(op.results[0].type)
+            env[op.results[0].uid] = jnp.asarray(op.attrs["value"], dt)
+        elif op.name in _BINOPS:
+            a, b = (env[o.uid] for o in op.operands)
+            env[op.results[0].uid] = _BINOPS[op.name](a, b)
+        elif op.name in _UNARY:
+            env[op.results[0].uid] = _UNARY[op.name](env[op.operands[0].uid])
+        elif op.name == "arith.cmp":
+            a, b = (env[o.uid] for o in op.operands)
+            env[op.results[0].uid] = _CMPS[op.attrs["pred"]](a, b)
+        elif op.name == "arith.select":
+            c, a, b = (env[o.uid] for o in op.operands)
+            env[op.results[0].uid] = jnp.where(c, a, b)
+        elif op.name == "arith.cast":
+            dt = _scalar_dtype(op.results[0].type)
+            env[op.results[0].uid] = env[op.operands[0].uid].astype(dt)
+        elif op.name == "neptune.yield":
+            yielded = env[op.operands[0].uid]
+        else:
+            raise NotImplementedError(f"scalar op {op.name} in apply body")
+
+    assert yielded is not None, "apply body did not yield"
+    out_dtype = jnp.dtype(out_type.element)
+    yielded = jnp.asarray(yielded, out_dtype)
+    return jnp.broadcast_to(yielded, shape)
+
+
+def execute_apply(op: Operation, operand_arrays: Sequence) -> jnp.ndarray:
+    """Full apply semantics: seed + interior overwrite."""
+    out_type: TempType = op.results[0].type
+    n_in = op.attrs.get("num_inputs", len(op.operands))
+    inputs = operand_arrays[:n_in]
+    scalars = operand_arrays[n_in:]
+    bounds: Bounds = op.attrs["bounds"]
+    rank = out_type.bounds.rank
+
+    computed = eval_apply_body(op.region(0), rank, n_in, out_type, inputs, scalars)
+
+    if bounds == out_type.bounds:
+        return computed
+    seed = (
+        jnp.asarray(inputs[0], jnp.dtype(out_type.element))
+        if n_in
+        else jnp.zeros(out_type.bounds.shape, jnp.dtype(out_type.element))
+    )
+    sl = bounds.rel_slices(out_type.bounds)
+    return seed.at[sl].set(computed[sl])
+
+
+def execute_reduce(op: Operation, arr: jnp.ndarray):
+    """All five reduce kinds (the reference documents five but implements only
+    "sum", `DataflowLowering.cpp:652-654`)."""
+    tt: TempType = op.operands[0].type
+    bounds = op.attrs.get("bounds")
+    if bounds is not None:
+        arr = arr[bounds.rel_slices(tt.bounds)]
+    kind = op.attrs["kind"]
+    if kind == "sum":
+        return jnp.sum(arr)
+    if kind == "max":
+        return jnp.max(arr)
+    if kind == "min":
+        return jnp.min(arr)
+    if kind == "l1":
+        return jnp.sum(jnp.abs(arr))
+    if kind == "l2":
+        return jnp.sqrt(jnp.sum(arr * arr))
+    raise ValueError(f"unknown reduce kind {kind!r}")

@@ -1,0 +1,24 @@
+"""Matrix-free solver layer — the PETSc KSP/SNES runtime replacement
+(reference `lib/Runtime/PETSc/NeptunePETScRuntime.cpp`)."""
+
+from .assemble import MatrixHandle
+from .krylov import SolveInfo, bicgstab, cg, direct, gmres, solve
+from .newton import NewtonInfo, newton_krylov, picard
+from .precond import extract_diagonal, jacobi, make_preconditioner, ssor_dense
+
+__all__ = [
+    "MatrixHandle",
+    "SolveInfo",
+    "bicgstab",
+    "cg",
+    "direct",
+    "gmres",
+    "solve",
+    "NewtonInfo",
+    "newton_krylov",
+    "picard",
+    "extract_diagonal",
+    "jacobi",
+    "make_preconditioner",
+    "ssor_dense",
+]

@@ -1,0 +1,109 @@
+"""Preconditioners for the matrix-free Krylov solvers.
+
+The reference defaults to no preconditioning (PCNONE,
+`NeptunePETScRuntime.cpp:146-149`); BASELINE.md asks this build to provide
+Jacobi and SSOR. Matrix-free Jacobi needs the operator diagonal, which we
+extract exactly by **stencil-period probing**: for a stencil whose offsets o
+satisfy |o_d| <= w_d, probe vectors that are 1 on the lattice
+{ i : i ≡ c (mod w_d+1) } and 0 elsewhere have the property that distinct
+points in one probe never interact through the stencil, so
+diag = Σ_probes probe ⊙ A(probe). The number of operator applications is
+Π_d (w_d + 1) — e.g. 4 for a 2-D 5-point Laplacian — independent of grid size.
+The needed halo widths come from the verifier's reach analysis
+(`neptune_tpu.ir.verify`, reference analog `VerifyAndAnnotate.cpp:252-266`).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Callable, Sequence
+
+import jax.numpy as jnp
+import jax.scipy.linalg as jsp
+import numpy as np
+
+
+def extract_diagonal(
+    matvec: Callable,
+    like: jnp.ndarray,
+    halo: Sequence[tuple[int, int]],
+):
+    """Exact operator diagonal via stencil-period probing.
+
+    `like` is a zero template with the operator's grid shape/dtype; `halo` is
+    the per-dim (lo, hi) reach of the operator (so any nonzero A_ij has
+    |j_d - i_d| <= max(lo_d, hi_d)).
+    """
+    shape = like.shape
+    periods = [max(lo, hi) + 1 for lo, hi in halo] or [1]
+    if len(periods) != len(shape):
+        periods = [max(p for p in periods)] * len(shape)
+
+    # Build the probe masks once with NumPy (static, pre-jit constants).
+    grids = np.ogrid[tuple(slice(0, s) for s in shape)]
+    diag = jnp.zeros_like(like)
+    for combo in itertools.product(*[range(p) for p in periods]):
+        mask_np = np.ones(shape, dtype=bool)
+        for g, c, p in zip(grids, combo, periods):
+            mask_np &= (g % p) == c
+        probe = jnp.asarray(mask_np, like.dtype)
+        diag = diag + probe * matvec(probe)
+    return diag
+
+
+def jacobi(matvec: Callable, like: jnp.ndarray, halo) -> Callable:
+    """M(x) = x / diag(A), with zero-diagonal entries passed through
+    unpreconditioned (identity on those points — keeps boundary copy-through
+    rows, which have diag from the identity part, well-defined)."""
+    d = extract_diagonal(matvec, like, halo)
+    safe = jnp.where(d == 0, jnp.ones_like(d), d)
+    inv = jnp.where(d == 0, jnp.ones_like(d), 1.0 / safe)
+
+    def M(x):
+        return x * inv
+
+    return M
+
+
+def ssor_dense(A: jnp.ndarray, omega: float = 1.0) -> Callable:
+    """SSOR preconditioner from an assembled dense matrix:
+    M^{-1} = ω(2-ω) (D/ω + U)^{-1} D (D/ω + L)^{-1}.
+    Available on the assembled-matrix path (the analog of the reference's
+    DenseRM mode, `NeptunePETScRuntime.cpp:241-252`)."""
+    from ..utils.tree import ravel
+
+    D = jnp.diag(A)
+    Dsafe = jnp.where(D == 0, jnp.ones_like(D), D)
+    L = jnp.tril(A, -1)
+    U = jnp.triu(A, 1)
+    lower = jnp.diag(Dsafe / omega) + L
+    upper = jnp.diag(Dsafe / omega) + U
+    scale = omega * (2.0 - omega)
+
+    def M(r):
+        flat, unravel = ravel(r)
+        y = jsp.solve_triangular(lower, flat, lower=True)
+        y = Dsafe * y
+        z = jsp.solve_triangular(upper, y, lower=False)
+        return unravel(scale * z)
+
+    return M
+
+
+def make_preconditioner(
+    name: str,
+    matvec: Callable,
+    like,
+    halo=(),
+    dense_matrix=None,
+):
+    """Preconditioner factory keyed by the `precond` op attribute."""
+    if name in (None, "none"):
+        return None
+    if name == "jacobi":
+        return jacobi(matvec, like, halo)
+    if name == "ssor":
+        if dense_matrix is None:
+            raise ValueError("ssor preconditioner requires an assembled matrix")
+        return ssor_dense(dense_matrix)
+    raise ValueError(f"unknown preconditioner {name!r}")

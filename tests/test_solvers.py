@@ -1,0 +1,247 @@
+"""Solver-layer tests against NumPy/SciPy-style dense oracles at 1e-10.
+
+The accuracy bar comes from BASELINE.md ("match reference CPU outputs to
+1e-10") and the reference's solver contracts (GMRES tol 1e-8..1e-10, Newton
+tol 1e-10; `test/smoke_tests/smoke_time_advance*.mlir`).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neptune_tpu.solvers import (
+    MatrixHandle,
+    bicgstab,
+    cg,
+    extract_diagonal,
+    gmres,
+    jacobi,
+    newton_krylov,
+    picard,
+    ssor_dense,
+)
+from neptune_tpu.ir import Bounds, TempType
+
+
+@pytest.fixture
+def lap1d():
+    n = 64
+
+    def matvec(x):
+        return 2 * x - jnp.roll(x, 1).at[0].set(0) - jnp.roll(x, -1).at[-1].set(0)
+
+    A = (
+        np.diag(2 * np.ones(n))
+        - np.diag(np.ones(n - 1), 1)
+        - np.diag(np.ones(n - 1), -1)
+    )
+    rng = np.random.default_rng(7)
+    b = jnp.asarray(rng.standard_normal(n))
+    x_ref = np.linalg.solve(A, np.asarray(b))
+    return matvec, A, b, x_ref
+
+
+class TestKrylov:
+    def test_cg(self, lap1d):
+        matvec, A, b, x_ref = lap1d
+        x, info = cg(matvec, b, tol=1e-13, maxiter=500)
+        assert bool(info.converged)
+        np.testing.assert_allclose(np.asarray(x), x_ref, atol=1e-10)
+
+    def test_cg_jacobi_preconditioned(self, lap1d):
+        matvec, A, b, x_ref = lap1d
+        M = jacobi(matvec, jnp.zeros(64), ((1, 1),))
+        x, info = cg(matvec, b, tol=1e-13, maxiter=500, M=M)
+        assert bool(info.converged)
+        np.testing.assert_allclose(np.asarray(x), x_ref, atol=1e-10)
+
+    def test_cg_ssor_preconditioned(self, lap1d):
+        matvec, A, b, x_ref = lap1d
+        M = ssor_dense(jnp.asarray(A))
+        x, info = cg(matvec, b, tol=1e-13, maxiter=500, M=M)
+        assert bool(info.converged)
+        assert int(info.iters) < 64  # SSOR must actually accelerate CG
+        np.testing.assert_allclose(np.asarray(x), x_ref, atol=1e-10)
+
+    def test_bicgstab_nonsymmetric(self):
+        n = 48
+        A = np.zeros((n, n))
+        for i in range(n):
+            A[i, i] = 3.0
+            if i > 0:
+                A[i, i - 1] = -2.0
+            if i < n - 1:
+                A[i, i + 1] = -0.5
+        Aj = jnp.asarray(A)
+
+        def matvec(x):
+            return Aj @ x
+
+        rng = np.random.default_rng(3)
+        b = jnp.asarray(rng.standard_normal(n))
+        x_ref = np.linalg.solve(A, np.asarray(b))
+        x, info = bicgstab(matvec, b, tol=1e-13, maxiter=500)
+        assert bool(info.converged)
+        np.testing.assert_allclose(np.asarray(x), x_ref, atol=1e-9)
+
+    def test_gmres_nonsymmetric(self):
+        n = 48
+        A = np.zeros((n, n))
+        for i in range(n):
+            A[i, i] = 3.0
+            if i > 0:
+                A[i, i - 1] = -2.0
+            if i < n - 1:
+                A[i, i + 1] = -0.5
+        Aj = jnp.asarray(A)
+
+        def matvec(x):
+            return Aj @ x
+
+        rng = np.random.default_rng(3)
+        b = jnp.asarray(rng.standard_normal(n))
+        x_ref = np.linalg.solve(A, np.asarray(b))
+        x, info = gmres(matvec, b, tol=1e-12, maxiter=300, restart=30)
+        assert bool(info.converged)
+        np.testing.assert_allclose(np.asarray(x), x_ref, atol=1e-9)
+
+    def test_gmres_full_converges_in_n(self, lap1d):
+        matvec, A, b, x_ref = lap1d
+        x, info = gmres(matvec, b, tol=1e-11, maxiter=200, restart=64)
+        assert int(info.iters) <= 64 + 1
+        np.testing.assert_allclose(np.asarray(x), x_ref, atol=1e-8)
+
+    def test_zero_rhs(self, lap1d):
+        matvec, A, b, x_ref = lap1d
+        x, info = cg(matvec, jnp.zeros(64), tol=1e-12, maxiter=10)
+        assert np.all(np.asarray(x) == 0)
+
+    def test_solvers_jittable(self, lap1d):
+        matvec, A, b, x_ref = lap1d
+
+        @jax.jit
+        def solve(b):
+            return cg(matvec, b, tol=1e-13, maxiter=500)[0]
+
+        np.testing.assert_allclose(np.asarray(solve(b)), x_ref, atol=1e-10)
+
+
+class TestDiagonalProbing:
+    def test_1d_tridiagonal(self, lap1d):
+        matvec, A, b, x_ref = lap1d
+        d = extract_diagonal(matvec, jnp.zeros(64), ((1, 1),))
+        np.testing.assert_allclose(np.asarray(d), np.diag(A), atol=1e-14)
+
+    def test_2d_5pt(self):
+        n = 16
+
+        def matvec(x):
+            return (
+                4 * x
+                - jnp.roll(x, 1, 0)
+                - jnp.roll(x, -1, 0)
+                - jnp.roll(x, 1, 1)
+                - jnp.roll(x, -1, 1)
+            )
+
+        d = extract_diagonal(matvec, jnp.zeros((n, n)), ((1, 1), (1, 1)))
+        np.testing.assert_allclose(np.asarray(d), 4 * np.ones((n, n)), atol=1e-14)
+
+    def test_variable_coefficient(self):
+        n = 32
+        c = jnp.asarray(np.random.default_rng(0).uniform(1, 2, n))
+
+        def matvec(x):
+            return c * x - 0.5 * jnp.roll(x, 1).at[0].set(0)
+
+        d = extract_diagonal(matvec, jnp.zeros(n), ((1, 0),))
+        np.testing.assert_allclose(np.asarray(d), np.asarray(c), atol=1e-14)
+
+
+class TestNewton:
+    def test_scalar_field_newton(self, lap1d):
+        matvec, A, b, x_ref = lap1d
+
+        def F(u):
+            return matvec(u) + u**3 - b
+
+        x, info = newton_krylov(
+            F, jnp.zeros(64), tol=1e-12, krylov_tol=1e-10, krylov_iters=300
+        )
+        assert bool(info.converged)
+        assert float(jnp.abs(F(x)).max()) < 1e-10
+
+    def test_tuple_state_newton(self):
+        # multi-field state: the test_swe_implicit.py (h, q) API shape
+        def F(state):
+            h, q = state
+            return (h + 0.1 * q**2 - 1.0, q + 0.05 * h * q - 0.5)
+
+        (h, q), info = newton_krylov(F, (jnp.ones(8), jnp.zeros(8)), tol=1e-13)
+        assert bool(info.converged)
+        r1, r2 = F((h, q))
+        assert float(jnp.abs(r1).max()) < 1e-11
+        assert float(jnp.abs(r2).max()) < 1e-11
+
+    def test_newton_jittable(self):
+        def F(u):
+            return u**3 + u - 2.0
+
+        @jax.jit
+        def solve(u0):
+            return newton_krylov(F, u0, tol=1e-13)[0]
+
+        x = solve(jnp.ones(4))
+        np.testing.assert_allclose(np.asarray(x), 1.0, atol=1e-12)
+
+    def test_picard(self):
+        # x = cos(x) fixed point
+        def G(x):
+            return jnp.cos(x)
+
+        x, info = picard(G, jnp.zeros(4), tol=1e-12, max_iters=200)
+        np.testing.assert_allclose(np.asarray(x), 0.7390851332151607, atol=1e-10)
+
+
+class TestMatrixHandle:
+    def test_dense_assembly(self):
+        bounds = Bounds.of([0], [8])
+        tt = TempType("float64", bounds)
+
+        def matvec(x):
+            return 2 * x - jnp.roll(x, 1).at[0].set(0) - jnp.roll(x, -1).at[-1].set(0)
+
+        h = MatrixHandle("A", matvec, tt, halo=((1, 1),))
+        A = np.asarray(h.dense())
+        expected = (
+            np.diag(2 * np.ones(8))
+            - np.diag(np.ones(7), 1)
+            - np.diag(np.ones(7), -1)
+        )
+        np.testing.assert_allclose(A, expected, atol=1e-14)
+
+    def test_diagonal(self):
+        bounds = Bounds.of([0], [8])
+        tt = TempType("float64", bounds)
+
+        def matvec(x):
+            return 5 * x
+
+        h = MatrixHandle("B", matvec, tt, halo=((0, 0),))
+        np.testing.assert_allclose(np.asarray(h.diagonal()), 5.0, atol=1e-14)
+
+    def test_2d_handle(self):
+        bounds = Bounds.of([0, 0], [4, 4])
+        tt = TempType("float64", bounds)
+
+        def matvec(x):
+            return 4 * x - jnp.roll(x, 1, 0) - jnp.roll(x, -1, 1)
+
+        h = MatrixHandle("C", matvec, tt, halo=((1, 1), (1, 1)))
+        assert h.n == 16
+        A = np.asarray(h.dense())
+        x = np.random.default_rng(1).standard_normal((4, 4))
+        np.testing.assert_allclose(
+            A @ x.ravel(), np.asarray(matvec(jnp.asarray(x))).ravel(), atol=1e-13
+        )
