@@ -19,8 +19,81 @@ Layers (bottom-up; see SURVEY.md for the reference mapping):
 """
 
 from . import config as _config_mod
-from .config import config
+from .config import config, enable_x64
+
+# the reference package surface (`python_frontend/neptune/__init__.py:11-44`)
+# plus this build's extensions (nonlinear_op_def, solve_nonlinear, reduce,
+# time_advance, temp, math functions, where/index)
+from .frontend import (
+    CompiledLibrary,
+    Context,
+    Expr,
+    GlobalContext,
+    MatrixExpr,
+    OpDef,
+    apply,
+    assemble_matrix,
+    get_compiler,
+    get_context,
+    index,
+    jit_class,
+    jit_compile,
+    linear_op_def,
+    nonlinear_op_def,
+    reduce,
+    reset_context,
+    solve_linear,
+    solve_nonlinear,
+    stencil,
+    temp,
+    time_advance,
+    where,
+)
+from .frontend import abs, cos, erf, exp, log, maximum, minimum, sin, sqrt, tanh
+from .ir.types import Bounds, Location, StencilShape, TempType, TimeMethod
 
 __version__ = "0.1.0"
 
-__all__ = ["config", "__version__"]
+__all__ = [
+    "config",
+    "enable_x64",
+    "__version__",
+    "CompiledLibrary",
+    "Context",
+    "Expr",
+    "GlobalContext",
+    "MatrixExpr",
+    "OpDef",
+    "apply",
+    "assemble_matrix",
+    "get_compiler",
+    "get_context",
+    "index",
+    "jit_class",
+    "jit_compile",
+    "linear_op_def",
+    "nonlinear_op_def",
+    "reduce",
+    "reset_context",
+    "solve_linear",
+    "solve_nonlinear",
+    "stencil",
+    "temp",
+    "time_advance",
+    "where",
+    "abs",
+    "cos",
+    "erf",
+    "exp",
+    "log",
+    "maximum",
+    "minimum",
+    "sin",
+    "sqrt",
+    "tanh",
+    "Bounds",
+    "Location",
+    "StencilShape",
+    "TempType",
+    "TimeMethod",
+]

@@ -133,6 +133,7 @@ class NeptuneBuilder(Builder):
         bounds: Bounds,
         result_type: Optional[TempType] = None,
         scalar_params: Sequence[Value] = (),
+        result_types: Optional[Sequence[TempType]] = None,
     ) -> tuple[Operation, Block]:
         """Create an apply op with an empty region; caller fills the body and
         then calls `finish_apply`.
@@ -154,14 +155,26 @@ class NeptuneBuilder(Builder):
                 isinstance(v.type, ScalarType),
                 f"apply scalar param must be scalar: {v.type}",
             )
-        if result_type is None:
-            _check(len(inputs) > 0, "apply without inputs needs explicit result_type")
-            result_type = inputs[0].type
-        rank = result_type.bounds.rank
+        if result_types is not None:
+            rtypes = list(result_types)
+            _check(len(rtypes) >= 1, "apply needs at least one result")
+        else:
+            if result_type is None:
+                _check(
+                    len(inputs) > 0, "apply without inputs needs explicit result_type"
+                )
+                result_type = inputs[0].type
+            rtypes = [result_type]
+        rank = rtypes[0].bounds.rank
+        for rt in rtypes:
+            _check(
+                rt.bounds == rtypes[0].bounds,
+                "multi-result apply requires identical result domains",
+            )
         _check(bounds.rank == rank, "apply bounds rank != result rank")
         _check(
-            result_type.bounds.contains(bounds),
-            f"apply bounds {bounds} outside result domain {result_type.bounds}",
+            rtypes[0].bounds.contains(bounds),
+            f"apply bounds {bounds} outside result domain {rtypes[0].bounds}",
         )
         for v in inputs:
             _check(v.type.rank == rank, "apply input rank mismatch")
@@ -175,7 +188,7 @@ class NeptuneBuilder(Builder):
             "neptune.apply",
             list(inputs) + list(scalar_params),
             attrs={"bounds": bounds, "num_inputs": len(inputs)},
-            result_types=[result_type],
+            result_types=rtypes,
             regions=[body],
         )
         return op, body
@@ -187,13 +200,16 @@ class NeptuneBuilder(Builder):
             term is not None and term.name == "neptune.yield",
             "apply body must end with neptune.yield",
         )
-        yielded = term.operands[0]
-        rtype = op.results[0].type
         _check(
-            isinstance(yielded.type, ScalarType)
-            and yielded.type.name == rtype.element,
-            f"yield type {yielded.type} != apply element {rtype.element}",
+            len(term.operands) == len(op.results),
+            f"apply yields {len(term.operands)} values for {len(op.results)} results",
         )
+        for yielded, res in zip(term.operands, op.results):
+            _check(
+                isinstance(yielded.type, ScalarType)
+                and yielded.type.name == res.type.element,
+                f"yield type {yielded.type} != apply element {res.type.element}",
+            )
         # Annotate the access-offset union (feeds structure keys, halo widths,
         # and Pallas blocking; reference collects the same in
         # VerifyAndAnnotate.cpp:252-266).
@@ -202,7 +218,7 @@ class NeptuneBuilder(Builder):
             if inner.name == "neptune.access":
                 offsets.append(tuple(inner.attrs["offset"]))
         op.attrs["shape"] = StencilShape.of(offsets) if offsets else StencilShape(())
-        return op.results[0]
+        return op.results[0] if len(op.results) == 1 else tuple(op.results)
 
     def access(self, temp_arg: Value, offset: Sequence[int]) -> Value:
         """Read neighbor at constant offset (reference `neptune_ir.access`,
@@ -221,11 +237,15 @@ class NeptuneBuilder(Builder):
             result_types=[tt.element_scalar],
         ).result
 
-    def yield_(self, value: Value):
-        """Apply-region terminator (reference NeptuneIROps.td:94-114; single
-        scalar enforced as in `VerifyAndAnnotate.cpp:137-138`)."""
-        _check(isinstance(value.type, ScalarType), "yield expects scalar")
-        self.create("neptune.yield", [value])
+    def yield_(self, value):
+        """Apply-region terminator (reference NeptuneIROps.td:94-114). The
+        reference MVP enforces a single scalar (`VerifyAndAnnotate.cpp:
+        137-138`); this build allows multiple yields for multi-result applies
+        (multi-field residual kernels, the test_swe_implicit.py API)."""
+        values = list(value) if isinstance(value, (list, tuple)) else [value]
+        for v in values:
+            _check(isinstance(v.type, ScalarType), "yield expects scalar(s)")
+        self.create("neptune.yield", values)
 
     def return_(self, values: Sequence[Value]):
         """Opdef/func terminator (reference NeptuneIROps.td:124-145)."""

@@ -88,9 +88,14 @@ def _verify_apply_region(op: Operation):
     term = body.terminator
     if term is None or term.name != "neptune.yield":
         _err("apply region must terminate with neptune.yield")
-    y = term.operands[0].type
-    if not (isinstance(y, ScalarType) and y.name == rtype.element):
-        _err(f"apply yield type {y} != result element {rtype.element}")
+    if len(term.operands) != len(op.results):
+        _err(
+            f"apply yields {len(term.operands)} values for {len(op.results)} results"
+        )
+    for yv, res in zip(term.operands, op.results):
+        y = yv.type
+        if not (isinstance(y, ScalarType) and y.name == res.type.element):
+            _err(f"apply yield type {y} != result element {res.type.element}")
 
 
 # --------------------------------------------------------------------------

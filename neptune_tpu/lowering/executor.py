@@ -161,9 +161,12 @@ class CompiledModule:
                 get(op.operands[0]), jnp.dtype(op.results[0].type.element)
             )
         elif name == "neptune.apply":
-            env[op.results[0].uid] = self._execute_apply(
-                op, [get(o) for o in op.operands]
-            )
+            out = self._execute_apply(op, [get(o) for o in op.operands])
+            if len(op.results) == 1:
+                env[op.results[0].uid] = out
+            else:
+                for r, v in zip(op.results, out):
+                    env[r.uid] = v
         elif name == "neptune.reduce":
             env[op.results[0].uid] = jnp_backend.execute_reduce(
                 op, get(op.operands[0])

@@ -91,11 +91,11 @@ def eval_apply_body(
     out_type: TempType,
     input_arrays: Sequence[jnp.ndarray],
     scalar_args: Sequence,
-) -> jnp.ndarray:
+) -> list[jnp.ndarray]:
     """Vectorized evaluation of an apply region over the full logical domain.
 
-    Returns the computed array spanning out_type.bounds (caller applies the
-    copy-through interior masking).
+    Returns one computed array per yielded value, each spanning
+    out_type.bounds (caller applies the copy-through interior masking).
     """
     shape = out_type.bounds.shape
     lb = out_type.bounds.lb
@@ -133,18 +133,45 @@ def eval_apply_body(
             dt = _scalar_dtype(op.results[0].type)
             env[op.results[0].uid] = env[op.operands[0].uid].astype(dt)
         elif op.name == "neptune.yield":
-            yielded = env[op.operands[0].uid]
+            yielded = [env[o.uid] for o in op.operands]
         else:
             raise NotImplementedError(f"scalar op {op.name} in apply body")
 
     assert yielded is not None, "apply body did not yield"
     out_dtype = jnp.dtype(out_type.element)
-    yielded = jnp.asarray(yielded, out_dtype)
-    return jnp.broadcast_to(yielded, shape)
+    return [
+        jnp.broadcast_to(jnp.asarray(y, out_dtype), shape) for y in yielded
+    ]
 
 
-def execute_apply(op: Operation, operand_arrays: Sequence) -> jnp.ndarray:
-    """Full apply semantics: seed + interior overwrite."""
+import functools
+
+import numpy as _np
+
+
+@functools.lru_cache(maxsize=None)
+def interior_mask(bounds: Bounds, outer: Bounds) -> "_np.ndarray":
+    """Static boolean mask selecting `bounds` inside `outer`'s physical array.
+
+    Built once per (bounds, outer) pair as a trace-time constant. The masked
+    `jnp.where` composition is used instead of `.at[slices].set(...)` for the
+    copy-through write: the select fuses into the stencil elementwise kernel
+    on TPU (no scatter), and it sidesteps an XLA:CPU miscompilation where a
+    dynamic-update-slice whose source aliases the updated operand produces
+    wrong values inside nested fori_loop bodies (observed jax 0.9.0: GMRES
+    Arnoldi vectors corrupted when the operator ended in x.at[sl].set(...)).
+    """
+    m = _np.zeros(outer.shape, dtype=bool)
+    m[tuple(bounds.rel_slices(outer))] = True
+    # cache the NumPy mask, not a jnp array: jnp.asarray under an active jit
+    # trace yields a tracer, and caching a tracer leaks it across traces
+    return m
+
+
+def execute_apply(op: Operation, operand_arrays: Sequence):
+    """Full apply semantics: seed + interior overwrite. Returns a single
+    array, or a tuple for multi-result applies (output j seeds copy-through
+    from input j when it exists, zeros otherwise)."""
     out_type: TempType = op.results[0].type
     n_in = op.attrs.get("num_inputs", len(op.operands))
     inputs = operand_arrays[:n_in]
@@ -154,15 +181,19 @@ def execute_apply(op: Operation, operand_arrays: Sequence) -> jnp.ndarray:
 
     computed = eval_apply_body(op.region(0), rank, n_in, out_type, inputs, scalars)
 
-    if bounds == out_type.bounds:
-        return computed
-    seed = (
-        jnp.asarray(inputs[0], jnp.dtype(out_type.element))
-        if n_in
-        else jnp.zeros(out_type.bounds.shape, jnp.dtype(out_type.element))
-    )
-    sl = bounds.rel_slices(out_type.bounds)
-    return seed.at[sl].set(computed[sl])
+    outs = []
+    for j, c in enumerate(computed):
+        if bounds == out_type.bounds:
+            outs.append(c)
+            continue
+        seed = (
+            jnp.asarray(inputs[j], jnp.dtype(out_type.element))
+            if j < n_in
+            else jnp.zeros(out_type.bounds.shape, jnp.dtype(out_type.element))
+        )
+        mask = interior_mask(bounds, out_type.bounds)
+        outs.append(jnp.where(mask, c, seed))
+    return outs[0] if len(outs) == 1 else tuple(outs)
 
 
 def execute_reduce(op: Operation, arr: jnp.ndarray):
