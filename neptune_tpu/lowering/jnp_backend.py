@@ -84,6 +84,76 @@ def shift_read(arr: jnp.ndarray, offset: Sequence[int]) -> jnp.ndarray:
     return jnp.roll(arr, shift=tuple(-o for o in offset), axis=tuple(range(len(offset))))
 
 
+def eval_scalar_dag(
+    body: Block,
+    rank: int,
+    num_inputs: int,
+    access_fn,
+    index_fn,
+    scalar_args: Sequence,
+) -> list:
+    """Evaluate an apply region's scalar DAG vectorized, with pluggable
+    access/index resolution (shared between the jnp and Pallas backends).
+
+    access_fn(input_index, offset) -> array of the accessed neighbor values
+    index_fn(dim) -> array of logical coordinates along `dim`
+    """
+    env: dict[int, object] = {}
+    arg_of_input: dict[int, int] = {}
+
+    for k in range(num_inputs):
+        arg_of_input[body.args[rank + k].uid] = k
+    for k, s in enumerate(scalar_args):
+        env[body.args[rank + num_inputs + k].uid] = s
+    for d in range(rank):
+        env[body.args[d].uid] = None  # resolved lazily via index_fn
+
+    index_cache: dict[int, object] = {}
+
+    def index_value(d):
+        if d not in index_cache:
+            index_cache[d] = index_fn(d)
+        return index_cache[d]
+
+    def lookup(v):
+        if v.block_arg_of is body and v.index < rank:
+            return index_value(v.index)
+        return env[v.uid]
+
+    yielded = None
+    for op in body.ops:
+        if op.name == "neptune.access":
+            k = arg_of_input[op.operands[0].uid]
+            env[op.results[0].uid] = access_fn(k, op.attrs["offset"])
+        elif op.name == "arith.constant":
+            dt = _scalar_dtype(op.results[0].type)
+            env[op.results[0].uid] = jnp.asarray(op.attrs["value"], dt)
+        elif op.name in _BINOPS:
+            a, b = (lookup(o) for o in op.operands)
+            env[op.results[0].uid] = _BINOPS[op.name](a, b)
+        elif op.name in _UNARY:
+            env[op.results[0].uid] = _UNARY[op.name](lookup(op.operands[0]))
+        elif op.name == "arith.cmp":
+            a, b = (lookup(o) for o in op.operands)
+            env[op.results[0].uid] = _CMPS[op.attrs["pred"]](a, b)
+        elif op.name == "arith.select":
+            c, a, b = (lookup(o) for o in op.operands)
+            env[op.results[0].uid] = jnp.where(c, a, b)
+        elif op.name == "arith.cast":
+            dt = _scalar_dtype(op.results[0].type)
+            v = lookup(op.operands[0])
+            env[op.results[0].uid] = (
+                v.astype(dt) if hasattr(v, "astype") else jnp.asarray(v, dt)
+            )
+        elif op.name == "neptune.yield":
+            yielded = [lookup(o) for o in op.operands]
+        else:
+            raise NotImplementedError(f"scalar op {op.name} in apply body")
+
+    assert yielded is not None, "apply body did not yield"
+    return yielded
+
+
 def eval_apply_body(
     body: Block,
     rank: int,
@@ -92,56 +162,21 @@ def eval_apply_body(
     input_arrays: Sequence[jnp.ndarray],
     scalar_args: Sequence,
 ) -> list[jnp.ndarray]:
-    """Vectorized evaluation of an apply region over the full logical domain.
-
-    Returns one computed array per yielded value, each spanning
-    out_type.bounds (caller applies the copy-through interior masking).
-    """
+    """Vectorized whole-domain evaluation (the jnp backend's hooks)."""
     shape = out_type.bounds.shape
     lb = out_type.bounds.lb
-    env: dict[int, jnp.ndarray] = {}
 
-    # block args: rank index IVs (logical coordinates), temps, scalars
-    for d in range(rank):
-        iv = jax.lax.broadcasted_iota(jnp.int32, shape, d) + lb[d]
-        env[body.args[d].uid] = iv
-    for k in range(num_inputs):
-        env[body.args[rank + k].uid] = input_arrays[k]
-    for k, s in enumerate(scalar_args):
-        env[body.args[rank + num_inputs + k].uid] = s
+    def access_fn(k, offset):
+        return shift_read(input_arrays[k], offset)
 
-    yielded = None
-    for op in body.ops:
-        if op.name == "neptune.access":
-            src = env[op.operands[0].uid]
-            env[op.results[0].uid] = shift_read(src, op.attrs["offset"])
-        elif op.name == "arith.constant":
-            dt = _scalar_dtype(op.results[0].type)
-            env[op.results[0].uid] = jnp.asarray(op.attrs["value"], dt)
-        elif op.name in _BINOPS:
-            a, b = (env[o.uid] for o in op.operands)
-            env[op.results[0].uid] = _BINOPS[op.name](a, b)
-        elif op.name in _UNARY:
-            env[op.results[0].uid] = _UNARY[op.name](env[op.operands[0].uid])
-        elif op.name == "arith.cmp":
-            a, b = (env[o.uid] for o in op.operands)
-            env[op.results[0].uid] = _CMPS[op.attrs["pred"]](a, b)
-        elif op.name == "arith.select":
-            c, a, b = (env[o.uid] for o in op.operands)
-            env[op.results[0].uid] = jnp.where(c, a, b)
-        elif op.name == "arith.cast":
-            dt = _scalar_dtype(op.results[0].type)
-            env[op.results[0].uid] = env[op.operands[0].uid].astype(dt)
-        elif op.name == "neptune.yield":
-            yielded = [env[o.uid] for o in op.operands]
-        else:
-            raise NotImplementedError(f"scalar op {op.name} in apply body")
+    def index_fn(d):
+        return jax.lax.broadcasted_iota(jnp.int32, shape, d) + lb[d]
 
-    assert yielded is not None, "apply body did not yield"
+    yielded = eval_scalar_dag(
+        body, rank, num_inputs, access_fn, index_fn, scalar_args
+    )
     out_dtype = jnp.dtype(out_type.element)
-    return [
-        jnp.broadcast_to(jnp.asarray(y, out_dtype), shape) for y in yielded
-    ]
+    return [jnp.broadcast_to(jnp.asarray(y, out_dtype), shape) for y in yielded]
 
 
 import functools

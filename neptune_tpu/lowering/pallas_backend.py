@@ -1,14 +1,258 @@
-"""Pallas TPU kernels for apply execution (stub — filled in by the kernel
-milestone; `try_execute_apply` returning None falls back to the jnp path)."""
+"""Pallas TPU stencil kernels — the hand-tiled apply executor.
+
+TPU-native analog of the reference's hot-loop construction
+(`ApplyToSCFForLowering`, `lib/Passes/DataflowLowering.cpp:258-448`, which
+emits rank-deep scf.for nests): each apply lowers to ONE `pallas_call` whose
+grid walks **slabs along dim 0**, with halo coverage provided by passing the
+same input array (2·h0+1) times under shifted-and-clamped block index maps —
+the Pallas equivalent of ghost cells. Within a slab the full extent of the
+trailing dims lives in VMEM, so trailing-dim neighbor reads are register/VPU
+shifts (`pltpu.roll`), and dim-0 neighbor reads are static slices of the
+halo-extended slab. The copy-through boundary contract is enforced in-kernel
+with an index mask (computed from `program_id` + iota — no extra memory
+traffic), exactly mirroring the jnp backend's mask-select semantics.
+
+Supported: rank 2/3 applies on float32/bfloat16 (float64 falls back to the
+jnp path — TPU f64 is VPU-emulated and XLA handles it as well as we could).
+Everything else falls back to the jnp backend via `try_execute_apply -> None`.
+"""
 
 from __future__ import annotations
 
+import functools
+import math
 from typing import Optional, Sequence
 
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import config
 from ..ir.core import Operation
+from ..ir.types import Bounds, StencilShape, TempType
+from . import jnp_backend
+
+_SUPPORTED_DTYPES = ("float32", "bfloat16")
+# VMEM working-set budget (bytes) for choosing the slab height; leaves
+# headroom under the 16MB scoped-vmem limit for Mosaic's own temporaries
+# (iota/mask/ext intermediates live on the kernel "stack")
+_VMEM_BUDGET = 6 * 1024 * 1024
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _pick_slab(extent0: int, row_bytes: int, n_copies: int, h0: int) -> int:
+    """Largest multiple-of-8 slab height whose working set fits the budget."""
+    # working set ≈ (n_copies inputs + out + iota/mask/ext temps) * slab rows
+    denom = (n_copies + 8) * row_bytes
+    s = max(8, _VMEM_BUDGET // max(denom, 1))
+    s = min(s, extent0)
+    s = max(8, (s // 8) * 8)
+    # prefer a divisor of extent0 to avoid padded tail blocks
+    for cand in range(s, 7, -8):
+        if extent0 % cand == 0:
+            return cand
+    return min(s, extent0)
+
+
+def supported(op: Operation) -> bool:
+    out_type: TempType = op.results[0].type
+    if out_type.element not in _SUPPORTED_DTYPES:
+        return False
+    rank = out_type.bounds.rank
+    if rank not in (2, 3):
+        return False
+    # all temps must share the output domain (same physical shape)
+    n_in = op.attrs.get("num_inputs", len(op.operands))
+    for v in op.operands[:n_in]:
+        if v.type.bounds.shape != out_type.bounds.shape:
+            return False
+    shape: StencilShape = op.attrs.get("shape") or StencilShape(())
+    if shape.offsets:
+        halo = shape.halo()
+        extent0 = out_type.bounds.shape[0]
+        if max(halo[0]) >= extent0:
+            return False
+    # trailing dims must be large enough that wraparound-roll garbage stays in
+    # the masked (unspecified) zone; tiny grids go to the jnp path anyway
+    if math.prod(out_type.bounds.shape) < 64 * 128:
+        return False
+    return True
 
 
 def try_execute_apply(op: Operation, operand_arrays: Sequence) -> Optional[object]:
-    """Return the apply result via a Pallas kernel, or None if this apply is
-    not supported by the Pallas path (caller falls back to jnp)."""
-    return None
+    """Lower one apply to a Pallas kernel, or return None to fall back."""
+    if not supported(op):
+        return None
+    if not (_on_tpu() or config.pallas_interpret):
+        return None
+    return _execute(op, tuple(operand_arrays), interpret=config.pallas_interpret)
+
+
+def _execute(op: Operation, operand_arrays, *, interpret: bool):
+    out_type: TempType = op.results[0].type
+    n_in = op.attrs.get("num_inputs", len(op.operands))
+    inputs = operand_arrays[:n_in]
+    scalars = operand_arrays[n_in:]
+    bounds: Bounds = op.attrs["bounds"]
+    outer = out_type.bounds
+    rank = outer.rank
+    shape = outer.shape
+    dtype = jnp.dtype(out_type.element)
+
+    sshape: StencilShape = op.attrs.get("shape") or StencilShape(())
+    halo = sshape.halo() if sshape.offsets else tuple((0, 0) for _ in range(rank))
+    h0 = max(halo[0]) if halo else 0
+
+    n_copies = 2 * h0 + 1
+    row_bytes = math.prod(shape[1:]) * dtype.itemsize
+    slab = _pick_slab(shape[0], row_bytes, n_copies * max(n_in, 1), h0)
+    grid = (pl.cdiv(shape[0], slab),)
+    n_slabs = grid[0]
+
+    body = op.region(0)
+    n_results = len(op.results)
+    full_domain = bounds == outer
+
+    def kernel(*refs):
+        # refs: [n_in * n_copies slab inputs] + [scalars (SMEM)] + [outs]
+        in_refs = refs[: n_in * n_copies]
+        scalar_refs = refs[n_in * n_copies : n_in * n_copies + len(scalars)]
+        out_refs = refs[n_in * n_copies + len(scalars) :]
+
+        pid = pl.program_id(0)
+
+        # halo-extended slab per input: ext[k] has shape (slab + 2*h0, *trail)
+        ext_cache: dict[int, jnp.ndarray] = {}
+
+        def ext(k):
+            if k not in ext_cache:
+                if h0 == 0:
+                    ext_cache[k] = in_refs[k * n_copies][...]
+                else:
+                    parts = []
+                    for c in range(n_copies):
+                        blk = in_refs[k * n_copies + c][...]
+                        if c == 0:
+                            parts.append(blk[slab - h0 :])
+                        elif c == n_copies - 1:
+                            parts.append(blk[:h0])
+                        else:
+                            parts.append(blk)
+                    ext_cache[k] = jnp.concatenate(parts, axis=0)
+            return ext_cache[k]
+
+        def access_fn(k, offset):
+            o0 = offset[0]
+            e = ext(k)
+            sl = jax.lax.slice_in_dim(e, h0 + o0, h0 + o0 + slab, axis=0)
+            for d in range(1, rank):
+                if offset[d] != 0:
+                    # pltpu.roll wants a non-negative shift; view[i]=x[i+o]
+                    # is a roll by -o, i.e. (size - o) mod size
+                    sl = pltpu.roll(sl, (-offset[d]) % shape[d], axis=d)
+            return sl
+
+        def index_fn(d):
+            if d == 0:
+                base = pid * slab + outer.lb[0]
+                iv = jax.lax.broadcasted_iota(jnp.int32, (slab,) + shape[1:], 0)
+                return iv + base
+            iv = jax.lax.broadcasted_iota(jnp.int32, (slab,) + shape[1:], d)
+            return iv + outer.lb[d]
+
+        scalar_vals = [r[0, 0] for r in scalar_refs]
+        yields = jnp_backend.eval_scalar_dag(
+            body, rank, n_in, access_fn, index_fn, scalar_vals
+        )
+
+        if full_domain:
+            mask = None
+        else:
+            # in-kernel interior mask from logical coordinates
+            mask = None
+            for d in range(rank):
+                iv = index_fn(d)
+                m = (iv >= bounds.lb[d]) & (iv < bounds.ub[d])
+                mask = m if mask is None else (mask & m)
+
+        for j in range(n_results):
+            val = jnp.asarray(yields[j], dtype)
+            val = jnp.broadcast_to(val, (slab,) + shape[1:])
+            if mask is None:
+                out_refs[j][...] = val
+            else:
+                if j < n_in:
+                    seed = in_refs[j * n_copies + h0][...]  # center copy
+                else:
+                    seed = jnp.zeros((slab,) + shape[1:], dtype)
+                out_refs[j][...] = jnp.where(mask, val, seed)
+
+    # --- block specs -------------------------------------------------------
+    in_specs = []
+    for k in range(n_in):
+        for c in range(n_copies):
+            d = c - h0
+
+            def index_map(i, d=d):
+                return (jnp.clip(i + d, 0, n_slabs - 1),) + (0,) * (rank - 1)
+
+            in_specs.append(
+                pl.BlockSpec(
+                    (slab,) + shape[1:], index_map, memory_space=pltpu.VMEM
+                )
+            )
+    for _ in scalars:
+        in_specs.append(
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+        )
+    out_specs = [
+        pl.BlockSpec(
+            (slab,) + shape[1:],
+            lambda i: (i,) + (0,) * (rank - 1),
+            memory_space=pltpu.VMEM,
+        )
+        for _ in range(n_results)
+    ]
+
+    n_offsets = sum(len({o for o in sshape.offsets}) for _ in range(1)) or 1
+    cost = pl.CostEstimate(
+        flops=2 * n_offsets * math.prod(shape) * max(n_in, 1),
+        bytes_accessed=(n_in + n_results) * math.prod(shape) * dtype.itemsize,
+        transcendentals=0,
+    )
+
+    scalar_args = [
+        jnp.asarray(s).reshape(1, 1).astype(_smem_dtype(s)) for s in scalars
+    ]
+    call_inputs = []
+    for k in range(n_in):
+        arr = jnp.asarray(inputs[k], dtype)
+        call_inputs.extend([arr] * n_copies)
+    call_inputs.extend(scalar_args)
+
+    out_shape = [
+        jax.ShapeDtypeStruct(shape, jnp.dtype(r.type.element)) for r in op.results
+    ]
+
+    result = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs if n_results > 1 else out_specs[0],
+        out_shape=out_shape if n_results > 1 else out_shape[0],
+        cost_estimate=cost,
+        interpret=interpret,
+    )(*call_inputs)
+    return result
+
+
+def _smem_dtype(s):
+    d = jnp.asarray(s).dtype
+    return d

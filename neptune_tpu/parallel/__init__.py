@@ -1,0 +1,16 @@
+"""Domain decomposition over device meshes — the distributed capability the
+single-process reference lacks (SURVEY.md §2.8)."""
+
+from .halo import allreduce_sum, halo_pad_local, sharded_stencil
+from .mesh import GridMesh, single_device_mesh
+from .sharded import sharded_function, sharded_opdef
+
+__all__ = [
+    "allreduce_sum",
+    "halo_pad_local",
+    "sharded_stencil",
+    "GridMesh",
+    "single_device_mesh",
+    "sharded_function",
+    "sharded_opdef",
+]

@@ -1,0 +1,155 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (conftest forces
+--xla_force_host_platform_device_count=8) — the TPU answer to multi-node
+testing without a cluster (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import neptune_tpu as ntp
+from neptune_tpu.parallel import (
+    GridMesh,
+    halo_pad_local,
+    sharded_function,
+    sharded_opdef,
+    sharded_stencil,
+)
+from neptune_tpu.passes import compile_ir
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.fixture(autouse=True)
+def fresh():
+    ntp.reset_context()
+    yield
+    ntp.reset_context()
+
+
+def lap2d_np(x):
+    y = x.copy()
+    y[1:-1, 1:-1] = (
+        4 * x[1:-1, 1:-1] - x[:-2, 1:-1] - x[2:, 1:-1] - x[1:-1, :-2] - x[1:-1, 2:]
+    )
+    return y
+
+
+def make_lap2d(n=64):
+    @ntp.linear_op_def(bounds=([0, 0], [n, n]), interior=([1, 1], [n - 1, n - 1]))
+    def lap2d(u):
+        return 4.0 * u[0, 0] - u[-1, 0] - u[1, 0] - u[0, -1] - u[0, 1]
+
+    return lap2d
+
+
+class TestGridMesh:
+    def test_mesh_2d(self):
+        gm = GridMesh((4, 2), ("x", "y"))
+        assert gm.n_devices == 8
+        s = gm.sharding(2)
+        assert s.spec == jax.sharding.PartitionSpec("x", "y")
+
+    def test_divisibility_check(self):
+        gm = GridMesh((4, 2), ("x", "y"))
+        with pytest.raises(ValueError, match="divisible"):
+            gm.check_divisible((63, 64))
+
+
+class TestGSPMD:
+    def test_sharded_matvec_matches_local(self):
+        lap = make_lap2d(64)
+        gm = GridMesh((4, 2), ("x", "y"))
+        ctx = ntp.get_context()
+        cm = ctx.compiled()
+        f = sharded_opdef(cm, "lap2d", gm)
+        x = np.random.default_rng(0).standard_normal((64, 64))
+        xs = gm.shard(jnp.asarray(x))
+        out = np.asarray(f(xs))
+        np.testing.assert_allclose(out, lap2d_np(x), atol=1e-13)
+
+    def test_sharded_cg_bit_stable(self):
+        # distributed matrix-free CG: same answer (and bitwise-identical
+        # between runs) on a sharded mesh — BASELINE.md's bit-stability bar
+        from neptune_tpu.solvers import cg
+
+        lap = make_lap2d(64)
+        gm = GridMesh((4, 2), ("x", "y"))
+        cm = ntp.get_context().compiled()
+        matvec = cm.opdef("lap2d")
+        b = np.random.default_rng(1).standard_normal((64, 64))
+
+        @jax.jit
+        def solve(b):
+            x, info = cg(matvec, b, tol=1e-12, maxiter=2000)
+            return x, info.iters
+
+        bs = gm.shard(jnp.asarray(b))
+        x1, it1 = solve(bs)
+        x2, it2 = solve(bs)
+        np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+        assert int(it1) == int(it2)
+        # also matches the single-device solve
+        x_local, _ = solve(jnp.asarray(b))
+        res = lap2d_np(np.asarray(x1))
+        np.testing.assert_allclose(res, b, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(x_local), np.asarray(x1), atol=1e-9)
+
+    def test_sharded_full_function(self):
+        import programs
+
+        m = programs.build_allen_cahn_implicit_linear(n=16)
+        cm = compile_ir(m)
+        gm = GridMesh((8,), ("x",))
+        f = sharded_function(cm, "entry", gm)
+        uin = np.sin(np.linspace(0, np.pi, 16))
+        out = np.asarray(f(np.zeros(16), uin))
+        oracle = programs.allen_cahn_implicit_linear_oracle(uin)
+        np.testing.assert_allclose(out, oracle, atol=1e-9)
+
+
+class TestShardMapHalo:
+    def test_halo_pad_matches_global_pad(self):
+        gm = GridMesh((4, 2), ("x", "y"))
+        x = np.arange(64 * 64, dtype=np.float64).reshape(64, 64)
+        halo = ((1, 1), (2, 0))
+
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def local(u_loc):
+            ext = halo_pad_local(u_loc, halo, ["x", "y"])
+            # return the recentered interior == original local block
+            return ext[1:-1, 2:]
+
+        f = shard_map(
+            local,
+            mesh=gm.mesh,
+            in_specs=(P("x", "y"),),
+            out_specs=P("x", "y"),
+            check_rep=False,
+        )
+        out = np.asarray(f(gm.shard(jnp.asarray(x))))
+        np.testing.assert_array_equal(out, x)
+
+    def test_sharded_stencil_sweep(self):
+        gm = GridMesh((4, 2), ("x", "y"))
+        n = 64
+        x = np.random.default_rng(3).standard_normal((n, n))
+
+        def local_sweep(ext, info):
+            # 5-pt laplacian on the extended block; interior mask via global
+            # coordinates
+            c = ext[1:-1, 1:-1]
+            lap = 4 * c - ext[:-2, 1:-1] - ext[2:, 1:-1] - ext[1:-1, :-2] - ext[1:-1, 2:]
+            si, sj = info["start"]
+            gi = si + jax.lax.broadcasted_iota(jnp.int32, c.shape, 0)
+            gj = sj + jax.lax.broadcasted_iota(jnp.int32, c.shape, 1)
+            mask = (gi >= 1) & (gi < n - 1) & (gj >= 1) & (gj < n - 1)
+            return jnp.where(mask, lap, c)
+
+        f = jax.jit(sharded_stencil(local_sweep, gm, ((1, 1), (1, 1)), 2))
+        out = np.asarray(f(gm.shard(jnp.asarray(x))))
+        np.testing.assert_allclose(out, lap2d_np(x), atol=1e-13)
