@@ -1,0 +1,96 @@
+"""Native C++ runtime tests: codegen -> g++ -> ctypes, cross-validated against
+both the NumPy oracles and the JAX executor (three-way agreement — the native
+path is this build's analog of the reference's compiled-kernel + PETSc
+runtime, and doubles as an independent oracle)."""
+
+import shutil
+
+import numpy as np
+import pytest
+
+import programs
+from neptune_tpu.passes import compile_ir
+from neptune_tpu.runtime import CodegenError, compile_native, generate_cpp
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("g++") is None, reason="needs a C++ compiler"
+)
+
+
+class TestNativeScenarios:
+    def test_allen_cahn_implicit_linear(self):
+        m = programs.build_allen_cahn_implicit_linear()
+        nm = compile_native(m)
+        uin = np.sin(np.linspace(0, np.pi, 16))
+        out = nm.function("entry")(np.zeros(16), uin)
+        oracle = programs.allen_cahn_implicit_linear_oracle(uin)
+        np.testing.assert_allclose(out, oracle, atol=1e-10)
+
+    def test_allen_cahn_newton(self):
+        m = programs.build_allen_cahn_nonlinear()
+        nm = compile_native(m)
+        uin = 0.9 * np.sin(np.linspace(0, 2 * np.pi, 16))
+        out = nm.function("entry")(np.zeros(16), uin)
+        assert np.abs(programs.ac_residual_np(out, uin)).max() < 1e-10
+
+    def test_black_scholes(self):
+        m = programs.build_bs_program()
+        nm = compile_native(m)
+        vin = np.maximum(np.linspace(0, 3.1, 32) - 1.0, 0.0)
+        out = nm.function("entry")(np.zeros(32), vin)
+        A = programs.dense_from_op(programs.bs_A_np, 32)
+        np.testing.assert_allclose(out, np.linalg.solve(A, vin), atol=5e-9)
+
+    def test_native_matches_jax_executor(self):
+        # three-way agreement: native C++ vs JAX executor (both already
+        # checked against NumPy separately)
+        m = programs.build_allen_cahn_implicit_linear()
+        nm = compile_native(m)
+        cm = compile_ir(m)
+        uin = np.cos(np.linspace(0, 3, 16))
+        a = nm.function("entry")(np.zeros(16), uin)
+        b = np.asarray(cm.function("entry")(np.zeros(16), uin))
+        np.testing.assert_allclose(a, b, atol=1e-9)
+
+    def test_caller_arrays_not_mutated(self):
+        m = programs.build_allen_cahn_implicit_linear()
+        nm = compile_native(m)
+        uin = np.sin(np.linspace(0, np.pi, 16))
+        keep = uin.copy()
+        out_buf = np.zeros(16)
+        nm.function("entry")(out_buf, uin)
+        np.testing.assert_array_equal(uin, keep)
+        np.testing.assert_array_equal(out_buf, np.zeros(16))
+
+    def test_source_loops_match_reference_structure(self):
+        # the generated code is loop nests with storage normalization, the
+        # reference's scf.for lowering shape (DataflowLowering.cpp:258-448)
+        m = programs.build_allen_cahn_implicit_linear()
+        from neptune_tpu.passes import run_pipeline
+
+        src = generate_cpp(run_pipeline(m).module)
+        assert "for (long i0 = 1L; i0 < 15L; ++i0)" in src
+        assert "neptune_rt_gmres" in src
+        assert 'extern "C" void nt_entry' in src
+
+    def test_f32_module_rejected(self):
+        import neptune_tpu as ntp
+
+        ntp.reset_context()
+
+        @ntp.linear_op_def(bounds=([0], [8]), dtype="float32")
+        def op32(u):
+            return u[0] * 2.0
+
+        with pytest.raises(CodegenError, match="float64"):
+            generate_cpp(ntp.get_context().module)
+        ntp.reset_context()
+
+    def test_cache_hit(self):
+        m = programs.build_allen_cahn_implicit_linear()
+        nm1 = compile_native(m)
+        nm2 = compile_native(m)  # second compile must hit the .so cache
+        uin = np.sin(np.linspace(0, np.pi, 16))
+        a = nm1.function("entry")(np.zeros(16), uin)
+        b = nm2.function("entry")(np.zeros(16), uin)
+        np.testing.assert_array_equal(a, b)
