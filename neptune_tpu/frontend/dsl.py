@@ -316,6 +316,7 @@ def solve_linear(
     tol: float = 1e-6,
     max_iters: int = 1000,
     precond: str = "none",
+    verbose: bool = False,
 ):
     """Solve A x = b (reference `dsl.py:70-74`; defaults cg + tol 1e-6)."""
     ctx = get_context()
@@ -340,6 +341,7 @@ def solve_linear(
             tol=tol,
             max_iters=max_iters,
             precond=precond,
+            verbose=verbose,
         )
         return Expr(E.TempLeaf(out.type, ir_value=out))
 
@@ -358,12 +360,16 @@ def solve_linear(
         M = make_preconditioner(
             precond, matrix.matvec, like, matrix.halo, dense_matrix=dense
         )
+    from ..utils import profiling
+
     if solver == "direct":
-        x, _ = krylov.direct(matrix.dense(), b_arr)
+        x, info = krylov.direct(matrix.dense(), b_arr)
     else:
-        x, _ = krylov.solve(
+        x, info = krylov.solve(
             matrix.matvec, b_arr, solver=solver, tol=tol, maxiter=max_iters, M=M
         )
+    if verbose or profiling.verbose_default():
+        profiling.report_solve(f"KSP({solver})", matrix.symbol, info)
     return x
 
 
@@ -380,6 +386,7 @@ def solve_nonlinear(
     max_iters: int = 50,
     krylov_tol: float = 1e-6,
     krylov_iters: int = 200,
+    verbose: bool = False,
 ):
     """Solve F(U) = 0 for a (possibly multi-field) state.
 
@@ -438,6 +445,7 @@ def solve_nonlinear(
             [s.node.ir_value for s in states],
             captures=cap_vals,
             method="newton" if method.startswith("newton") else method,
+            verbose=verbose,
             **nkw,
         )
         outs = out if isinstance(out, tuple) else (out,)
@@ -475,6 +483,10 @@ def solve_nonlinear(
             krylov_tol=krylov_tol,
             krylov_iters=krylov_iters,
         )
+    from ..utils import profiling
+
+    if verbose or profiling.verbose_default():
+        profiling.report_solve(f"SNES({method})", sym, info)
     return x[0] if single else tuple(x)
 
 

@@ -360,6 +360,7 @@ class NeptuneBuilder(Builder):
         tol: float = 1e-6,
         max_iters: int = 1000,
         precond: str = "none",
+        verbose: bool = False,
     ) -> Value:
         """Solve A x = b (reference NeptuneIROps.td:646-684; solver attrs
         "cg"/"gmres"/"bicgstab" + tol + max_iters; preconditioner is new here —
@@ -385,6 +386,7 @@ class NeptuneBuilder(Builder):
                 "tol": float(tol),
                 "max_iters": int(max_iters),
                 "precond": precond,
+                "verbose": bool(verbose),
             },
             result_types=[rhs.type],
         ).result
@@ -400,6 +402,7 @@ class NeptuneBuilder(Builder):
         max_iters: int = 50,
         krylov_tol: float = 1e-6,
         krylov_iters: int = 200,
+        verbose: bool = False,
     ) -> Value | tuple[Value, ...]:
         """Solve F(u; captures) = 0 (reference NeptuneIROps.td:697-736).
 
@@ -437,6 +440,7 @@ class NeptuneBuilder(Builder):
                 "krylov_tol": float(krylov_tol),
                 "krylov_iters": int(krylov_iters),
                 "num_states": n_state,
+                "verbose": bool(verbose),
             },
             result_types=[v.type for v in initial_guess],
         )

@@ -42,6 +42,7 @@ from ..solvers import krylov
 from ..solvers.assemble import MatrixHandle
 from ..solvers.newton import newton_krylov, picard
 from ..solvers.precond import make_preconditioner
+from ..utils import profiling
 from . import jnp_backend
 
 
@@ -276,6 +277,8 @@ class CompiledModule:
             x, info = krylov.solve(
                 handle.matvec, b, solver=solver, tol=tol, maxiter=max_iters, M=M
             )
+        if op.attrs.get("verbose") or profiling.verbose_default():
+            profiling.report_solve(f"KSP({solver})", handle.symbol, info)
         return x
 
     def _solve_nonlinear(self, op: Operation, env):
@@ -305,6 +308,8 @@ class CompiledModule:
             )
         else:
             raise ValueError(f"unknown nonlinear method {method!r}")
+        if op.attrs.get("verbose") or profiling.verbose_default():
+            profiling.report_solve(f"SNES({method})", sym, info)
         for r, v in zip(op.results, x):
             env[r.uid] = v
 
