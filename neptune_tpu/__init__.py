@@ -51,6 +51,7 @@ from .frontend import (
 )
 from .frontend import abs, cos, erf, exp, log, maximum, minimum, sin, sqrt, tanh
 from .ir.types import Bounds, Location, StencilShape, TempType, TimeMethod
+from .solvers.time import simulate
 
 __version__ = "0.1.0"
 
@@ -96,4 +97,5 @@ __all__ = [
     "StencilShape",
     "TempType",
     "TimeMethod",
+    "simulate",
 ]

@@ -176,7 +176,13 @@ def _verify_linear_body(fn: Function):
 def _structure_key(fn: Function) -> str:
     """Canonical structure string (reference `VerifyAndAnnotate.cpp:228-294`):
     kind, signature, and per-apply bounds + per-input sorted access offsets;
-    for nonlinear opdefs additionally the sorted scalar-op multiset."""
+    for nonlinear opdefs additionally the sorted scalar-op multiset.
+
+    Deviation from the reference: the in-order constant values are included
+    too. The reference's key is purely structural because it only routes
+    dlsym lookups; here the hash keys *callable sharing* between
+    structurally-identical opdefs, so operators differing only in baked-in
+    coefficients must not collide."""
     parts = [fn.kind, str(fn.ftype)]
     for op in fn.body.ops:
         if op.name == "neptune.apply":
@@ -184,6 +190,7 @@ def _structure_key(fn: Function) -> str:
             rank = op.results[0].type.bounds.rank
             per_input: dict[int, list] = {}
             scalar_ops: list[str] = []
+            consts: list[str] = []
             for inner in body.ops:
                 if inner.name == "neptune.access":
                     src = inner.operands[0]
@@ -191,6 +198,9 @@ def _structure_key(fn: Function) -> str:
                         per_input.setdefault(src.index - rank, []).append(
                             tuple(inner.attrs["offset"])
                         )
+                elif inner.name == "arith.constant":
+                    consts.append(repr(inner.attrs["value"]))
+                    scalar_ops.append(inner.name)
                 elif inner.name in SCALAR_OPS:
                     scalar_ops.append(inner.name)
             acc = ";".join(
@@ -198,6 +208,28 @@ def _structure_key(fn: Function) -> str:
                 for k, offs in sorted(per_input.items())
             )
             parts.append(f"apply[{op.attrs['bounds']}]({acc})")
+            parts.append("consts(" + ",".join(consts) + ")")
+            # full dataflow serialization: op sequence with SSA wiring, so the
+            # hash is a sound semantic fingerprint (not just a structural one)
+            numbering: dict[int, str] = {
+                a.uid: f"a{i}" for i, a in enumerate(body.args)
+            }
+            ser = []
+            for idx, inner in enumerate(body.ops):
+                for r in inner.results:
+                    numbering[r.uid] = f"t{idx}.{r.index}"
+                operands = ",".join(
+                    numbering.get(o.uid, "?") for o in inner.operands
+                )
+                extra = ""
+                if inner.name == "neptune.access":
+                    extra = str(list(inner.attrs["offset"]))
+                elif inner.name == "arith.constant":
+                    extra = repr(inner.attrs["value"])
+                elif inner.name == "arith.cmp":
+                    extra = inner.attrs["pred"]
+                ser.append(f"{inner.name}{extra}({operands})")
+            parts.append("body[" + ";".join(ser) + "]")
             if fn.kind == "nonlinear_opdef":
                 parts.append("ops(" + ",".join(sorted(scalar_ops)) + ")")
         elif op.name in ("neptune.apply_linear", "neptune.apply_nonlinear"):

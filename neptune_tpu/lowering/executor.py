@@ -53,6 +53,7 @@ class CompiledModule:
         self.module = module
         self.backend = backend or config.backend
         self._opdef_cache: dict[str, Callable] = {}
+        self._structure_cache: dict[int, Callable] = {}
         self._fn_cache: dict[str, Callable] = {}
 
     # ------------------------------------------------------------------
@@ -60,11 +61,24 @@ class CompiledModule:
     # ------------------------------------------------------------------
 
     def opdef(self, name: str) -> Callable:
-        """Traced callable for a linear/nonlinear opdef: (*arrays) -> array(s)."""
+        """Traced callable for a linear/nonlinear opdef: (*arrays) -> array(s).
+
+        Callables are shared between structurally identical opdefs via the
+        verifier's structure-key hash — the reference's kernel-cache key
+        (`VerifyAndAnnotate.cpp:279-293` MD5 keyHash) applied to avoid
+        re-tracing/re-jitting duplicate operators.
+        """
         if name not in self._opdef_cache:
             fn = self.module.lookup(name)
             assert fn.is_opdef, f"@{name} is not an opdef"
-            self._opdef_cache[name] = self._make_callable(fn)
+            skey = fn.attrs.get("structure_key_hash")
+            if skey is not None and skey in self._structure_cache:
+                self._opdef_cache[name] = self._structure_cache[skey]
+            else:
+                cb = self._make_callable(fn)
+                self._opdef_cache[name] = cb
+                if skey is not None:
+                    self._structure_cache[skey] = cb
         return self._opdef_cache[name]
 
     def function(self, name: str) -> Callable:

@@ -5,6 +5,7 @@ from .assemble import MatrixHandle
 from .krylov import SolveInfo, bicgstab, cg, direct, gmres, solve
 from .newton import NewtonInfo, newton_krylov, picard
 from .precond import extract_diagonal, jacobi, make_preconditioner, ssor_dense
+from .time import simulate
 
 __all__ = [
     "MatrixHandle",
@@ -21,4 +22,5 @@ __all__ = [
     "jacobi",
     "make_preconditioner",
     "ssor_dense",
+    "simulate",
 ]
