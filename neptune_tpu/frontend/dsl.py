@@ -317,8 +317,12 @@ def solve_linear(
     max_iters: int = 1000,
     precond: str = "none",
     verbose: bool = False,
+    precision: str = "full",
 ):
-    """Solve A x = b (reference `dsl.py:70-74`; defaults cg + tol 1e-6)."""
+    """Solve A x = b (reference `dsl.py:70-74`; defaults cg + tol 1e-6).
+
+    precision="mixed" runs f32 inner Krylov solves with f64 residual
+    refinement — f64 accuracy at f32 TPU speed (solvers.refine)."""
     ctx = get_context()
     if ctx.tracing:
         b = ctx.builder
@@ -342,6 +346,7 @@ def solve_linear(
             max_iters=max_iters,
             precond=precond,
             verbose=verbose,
+            precision=precision,
         )
         return Expr(E.TempLeaf(out.type, ir_value=out))
 
@@ -361,6 +366,32 @@ def solve_linear(
             precond, matrix.matvec, like, matrix.halo, dense_matrix=dense
         )
     from ..utils import profiling
+
+    if precision == "mixed":
+        from ..passes.retype import retype_module
+        from ..solvers.refine import refined_solve
+
+        ctx = get_context()
+        cm = ctx.compiled()
+        lo = cm.low_precision_opdef(matrix.symbol)
+        M_lo = None
+        if precond not in (None, "none"):
+            import jax.numpy as jnp
+
+            like32 = jnp.zeros(matrix.grid_shape, jnp.float32)
+            M_lo = make_preconditioner(precond, lo, like32, matrix.halo)
+        x, info = refined_solve(
+            matrix.matvec, lo, b_arr, solver=solver, tol=tol,
+            inner_iters=max_iters, M_lo=M_lo,
+        )
+        if verbose or profiling.verbose_default():
+            print(
+                f"[neptune] KSP({solver}/mixed) {matrix.symbol}: "
+                f"rounds={int(info.rounds)} inner={int(info.inner_iters)} "
+                f"resnorm={float(info.resnorm):.3e} "
+                f"converged={bool(info.converged)}"
+            )
+        return x
 
     if solver == "direct":
         x, info = krylov.direct(matrix.dense(), b_arr)

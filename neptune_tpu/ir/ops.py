@@ -361,6 +361,7 @@ class NeptuneBuilder(Builder):
         max_iters: int = 1000,
         precond: str = "none",
         verbose: bool = False,
+        precision: str = "full",
     ) -> Value:
         """Solve A x = b (reference NeptuneIROps.td:646-684; solver attrs
         "cg"/"gmres"/"bicgstab" + tol + max_iters; preconditioner is new here —
@@ -387,6 +388,7 @@ class NeptuneBuilder(Builder):
                 "max_iters": int(max_iters),
                 "precond": precond,
                 "verbose": bool(verbose),
+                "precision": precision,
             },
             result_types=[rhs.type],
         ).result

@@ -55,6 +55,7 @@ class CompiledModule:
         self._opdef_cache: dict[str, Callable] = {}
         self._structure_cache: dict[int, Callable] = {}
         self._fn_cache: dict[str, Callable] = {}
+        self._lo_cm: Optional["CompiledModule"] = None
 
     # ------------------------------------------------------------------
     # public entry points
@@ -90,6 +91,16 @@ class CompiledModule:
 
     def jit_function(self, name: str, **jit_kwargs) -> Callable:
         return jax.jit(self.function(name), **jit_kwargs)
+
+    def low_precision_opdef(self, name: str) -> Callable:
+        """float32 twin of an opdef (for mixed-precision refinement)."""
+        if self._lo_cm is None:
+            from ..passes.retype import retype_module
+
+            self._lo_cm = CompiledModule(
+                retype_module(self.module, "float32"), self.backend
+            )
+        return self._lo_cm.opdef(name)
 
     # ------------------------------------------------------------------
     # evaluation
@@ -278,6 +289,33 @@ class CompiledModule:
         tol = op.attrs["tol"]
         max_iters = op.attrs["max_iters"]
         precond = op.attrs.get("precond", "none")
+        precision = op.attrs.get("precision", "full")
+        if precision == "mixed":
+            # f32 inner solves + f64 residual refinement (solvers.refine)
+            from ..solvers.refine import refined_solve
+
+            lo = self.low_precision_opdef(handle.symbol)
+            M_lo = None
+            if precond not in (None, "none"):
+                like32 = jnp.zeros(handle.grid_shape, jnp.float32)
+                M_lo = make_preconditioner(precond, lo, like32, handle.halo)
+            x, info = refined_solve(
+                handle.matvec,
+                lo,
+                b,
+                solver=solver,
+                tol=tol,
+                inner_iters=max_iters,
+                M_lo=M_lo,
+            )
+            if op.attrs.get("verbose") or profiling.verbose_default():
+                jax.debug.print(
+                    "[neptune] KSP({s}/mixed) {n}: rounds={r} inner={i} "
+                    "resnorm={rn:.3e} converged={c}",
+                    s=solver, n=handle.symbol, r=info.rounds,
+                    i=info.inner_iters, rn=info.resnorm, c=info.converged,
+                )
+            return x
         M = None
         if precond not in (None, "none"):
             like = jnp.zeros(handle.grid_shape, handle.dtype)

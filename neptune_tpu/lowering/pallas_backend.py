@@ -154,9 +154,12 @@ def _execute(op: Operation, operand_arrays, *, interpret: bool):
             sl = jax.lax.slice_in_dim(e, h0 + o0, h0 + o0 + slab, axis=0)
             for d in range(1, rank):
                 if offset[d] != 0:
-                    # pltpu.roll wants a non-negative shift; view[i]=x[i+o]
-                    # is a roll by -o, i.e. (size - o) mod size
-                    sl = pltpu.roll(sl, (-offset[d]) % shape[d], axis=d)
+                    # pltpu.roll wants a non-negative i32 shift; view[i]=x[i+o]
+                    # is a roll by -o, i.e. (size - o) mod size. The explicit
+                    # int32 matters: under jax_enable_x64 a Python int traces
+                    # as i64, which Mosaic's dynamic_rotate rejects.
+                    shift = jnp.int32((-offset[d]) % shape[d])
+                    sl = pltpu.roll(sl, shift, axis=d)
             return sl
 
         def index_fn(d):
@@ -201,7 +204,13 @@ def _execute(op: Operation, operand_arrays, *, interpret: bool):
             d = c - h0
 
             def index_map(i, d=d):
-                return (jnp.clip(i + d, 0, n_slabs - 1),) + (0,) * (rank - 1)
+                # keep EVERY block index i32 (including the constant trailing
+                # zeros): under jax_enable_x64 promoted i64 indices break
+                # Mosaic (convert recursion / unlegalizable func.return)
+                i = jnp.asarray(i, jnp.int32)
+                return (
+                    jnp.clip(i + jnp.int32(d), jnp.int32(0), jnp.int32(n_slabs - 1)),
+                ) + (jnp.int32(0),) * (rank - 1)
 
             in_specs.append(
                 pl.BlockSpec(
@@ -210,12 +219,16 @@ def _execute(op: Operation, operand_arrays, *, interpret: bool):
             )
     for _ in scalars:
         in_specs.append(
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+            pl.BlockSpec(
+                (1, 1),
+                lambda i: (jnp.int32(0), jnp.int32(0)),
+                memory_space=pltpu.SMEM,
+            )
         )
     out_specs = [
         pl.BlockSpec(
             (slab,) + shape[1:],
-            lambda i: (i,) + (0,) * (rank - 1),
+            lambda i: (jnp.asarray(i, jnp.int32),) + (jnp.int32(0),) * (rank - 1),
             memory_space=pltpu.VMEM,
         )
         for _ in range(n_results)
