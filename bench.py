@@ -161,7 +161,6 @@ def full_suite():
 
     # config 4: matrix-free CG Poisson + Jacobi preconditioner
     n = 512
-    lap = make_jacobi_2d.__wrapped__ if False else None
     ntp.reset_context()
 
     @ntp.linear_op_def(

@@ -102,26 +102,39 @@ def _verify_apply_region(op: Operation):
 # 2. linearity whitelist
 # --------------------------------------------------------------------------
 
-_LINEAR_SCALAR_OPS = {
-    "arith.constant",
-    "arith.add",
-    "arith.sub",
-    "arith.neg",
-    "arith.mul",
-    "arith.div",
-    "arith.cast",
-    "neptune.access",
-    "neptune.yield",
-}
+_COEFF_MATH = (
+    "math.exp",
+    "math.log",
+    "math.sqrt",
+    "math.sin",
+    "math.cos",
+    "math.tan",
+    "math.tanh",
+    "math.abs",
+    "math.erf",
+)
 
 
 def _verify_linear_body(fn: Function):
-    """Enforce the reference's linear-body whitelist
-    (`VerifyAndAnnotate.cpp:167-201`): apply bodies may contain only access,
-    constants, add/sub/neg/cast, and mul/div where the co-factor is
-    constant-derived (div: constant rhs only). At the field level, only
-    `apply`, `apply_linear` (to other linear opdefs), and the terminator are
-    allowed."""
+    """Linearity analysis for `linear_opdef` bodies.
+
+    Generalizes the reference's constant-only whitelist
+    (`VerifyAndAnnotate.cpp:167-201`: access + const + add/sub/neg/cast +
+    mul/div-by-constant) to a two-class dataflow:
+
+      * **coefficient** — u-independent: constants, index IVs, and any scalar
+        math over them (admits variable-coefficient operators like
+        Black–Scholes' `sigma^2 S_i^2` terms, which are linear in u);
+      * **linear** — (affine-)degree ≤ 1 in u: accesses, sums/differences,
+        coefficient·linear products, linear/coefficient quotients, and
+        selects with a coefficient condition (boundary-conditioned linear
+        operators).
+
+    linear·linear, division by linear, comparisons on linear values, and
+    nonlinear math of linear values are rejected. (Like the reference, an
+    added coefficient yields an *affine* operator; callers treat the result
+    as the operator's action.)
+    """
     for op in fn.body.ops:
         if op.name not in ("neptune.apply", "neptune.apply_linear", "neptune.return"):
             _err(
@@ -132,40 +145,82 @@ def _verify_linear_body(fn: Function):
         if apply_op.name != "neptune.apply":
             continue
         body = apply_op.region(0)
-        const_like: set[int] = set()  # value uids derived purely from constants
+        rank = apply_op.results[0].type.bounds.rank
+        n_in = apply_op.attrs.get("num_inputs", len(apply_op.operands))
+        coeff: set[int] = set()
+        # index IVs and scalar params are u-independent coefficients
+        for d in range(rank):
+            coeff.add(body.args[d].uid)
+        for k in range(n_in, len(apply_op.operands)):
+            coeff.add(body.args[rank + k].uid)
+
+        def is_coeff(v) -> bool:
+            return v.uid in coeff
+
         for op in body.ops:
-            if op.name not in _LINEAR_SCALAR_OPS:
+            nm = op.name
+            if nm == "arith.constant":
+                coeff.add(op.results[0].uid)
+            elif nm == "neptune.access":
+                pass  # linear
+            elif nm in ("arith.add", "arith.sub"):
+                if all(is_coeff(o) for o in op.operands):
+                    coeff.add(op.results[0].uid)
+            elif nm == "arith.mul":
+                a, b = op.operands
+                if is_coeff(a) and is_coeff(b):
+                    coeff.add(op.results[0].uid)
+                elif not (is_coeff(a) or is_coeff(b)):
+                    _err(
+                        f"@{fn.name}: mul of two u-dependent values breaks "
+                        "linearity (one factor must be a coefficient)"
+                    )
+            elif nm == "arith.div":
+                a, b = op.operands
+                if not is_coeff(b):
+                    _err(
+                        f"@{fn.name}: div with u-dependent divisor breaks "
+                        "linearity (divisor must be a coefficient)"
+                    )
+                if is_coeff(a):
+                    coeff.add(op.results[0].uid)
+            elif nm in ("arith.neg", "arith.cast"):
+                if is_coeff(op.operands[0]):
+                    coeff.add(op.results[0].uid)
+            elif nm in ("arith.cmp", "arith.min", "arith.max", "arith.pow") or nm in (
+                "arith.and",
+                "arith.or",
+                "arith.not",
+            ):
+                if not all(is_coeff(o) for o in op.operands):
+                    _err(
+                        f"@{fn.name}: {nm} of u-dependent values breaks "
+                        "linearity (coefficients only)"
+                    )
+                coeff.add(op.results[0].uid)
+            elif nm in _COEFF_MATH:
+                if not is_coeff(op.operands[0]):
+                    _err(
+                        f"@{fn.name}: {nm} of a u-dependent value breaks "
+                        "linearity (nonlinear math on coefficients only)"
+                    )
+                coeff.add(op.results[0].uid)
+            elif nm == "arith.select":
+                c, a, b = op.operands
+                if not is_coeff(c):
+                    _err(
+                        f"@{fn.name}: select with u-dependent condition breaks "
+                        "linearity (condition must be a coefficient)"
+                    )
+                if is_coeff(a) and is_coeff(b):
+                    coeff.add(op.results[0].uid)
+            elif nm == "neptune.yield":
+                pass
+            else:
                 _err(
-                    f"@{fn.name}: scalar op {op.name} not allowed in a "
+                    f"@{fn.name}: scalar op {nm} not allowed in a "
                     "linear_opdef apply body"
                 )
-            if op.name == "arith.constant":
-                const_like.add(op.results[0].uid)
-            elif op.name in ("arith.add", "arith.sub", "arith.mul", "arith.div"):
-                a, b = op.operands
-                a_c, b_c = a.uid in const_like, b.uid in const_like
-                if op.name == "arith.mul":
-                    if not (a_c or b_c):
-                        _err(
-                            f"@{fn.name}: mul of two non-constant values breaks "
-                            "linearity (reference whitelist: mul-by-constant only)"
-                        )
-                    if a_c and b_c:
-                        const_like.add(op.results[0].uid)
-                elif op.name == "arith.div":
-                    if not b_c:
-                        _err(
-                            f"@{fn.name}: div with non-constant divisor breaks "
-                            "linearity (reference whitelist: div-by-constant-rhs)"
-                        )
-                    if a_c:
-                        const_like.add(op.results[0].uid)
-                else:  # add/sub
-                    if a_c and b_c:
-                        const_like.add(op.results[0].uid)
-            elif op.name in ("arith.neg", "arith.cast"):
-                if op.operands[0].uid in const_like:
-                    const_like.add(op.results[0].uid)
 
 
 # --------------------------------------------------------------------------

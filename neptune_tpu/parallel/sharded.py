@@ -18,6 +18,17 @@ from ..lowering.executor import CompiledModule
 from .mesh import GridMesh
 
 
+def _gspmd_view(cm: CompiledModule) -> CompiledModule:
+    """A jnp-backend view of the module: XLA's partitioner can shard the
+    whole-array lowering (roll/where) automatically, but cannot see inside
+    pallas_call — sharded execution therefore pins the jnp backend. (The
+    shard_map + Pallas fusion lives in parallel.halo.sharded_stencil.)"""
+    if cm.backend == "jnp":
+        return cm
+    view = CompiledModule(cm.module, "jnp")
+    return view
+
+
 def sharded_function(
     cm: CompiledModule,
     name: str,
@@ -29,6 +40,7 @@ def sharded_function(
     arg_ranks: rank of each grid argument (None entries = replicated scalar);
     inferred from the function signature when omitted.
     """
+    cm = _gspmd_view(cm)
     fn = cm.function(name)
     irfn = cm.module.lookup(name)
     if arg_ranks is None:
@@ -66,6 +78,7 @@ def sharded_function(
 
 def sharded_opdef(cm: CompiledModule, name: str, gmesh: GridMesh) -> Callable:
     """jit an opdef's matvec with mesh shardings (for distributed Krylov)."""
+    cm = _gspmd_view(cm)
     fn = cm.opdef(name)
     irfn = cm.module.lookup(name)
     ranks = [t.bounds.rank for t in irfn.ftype.inputs]

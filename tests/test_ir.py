@@ -195,6 +195,47 @@ class TestVerifier:
         with pytest.raises(IRError, match="div"):
             verify_and_annotate(b.module)
 
+    def test_variable_coefficient_linear_allowed(self):
+        # index-derived coefficients are u-independent: sigma^2 S_i^2 v_xx
+        # is linear in v (extension over the reference's constant-only
+        # whitelist; see ir.verify._verify_linear_body)
+        b = NeptuneBuilder()
+        bounds = Bounds.of([0], [8])
+        tt = TempType("float64", bounds)
+        fn = b.make_opdef("varco", "linear_opdef", [tt], [tt])
+        b.push_block(fn.body)
+        op, body = b.start_apply([fn.body.args[0]], bounds)
+        b.push_block(body)
+        from neptune_tpu.ir import F64
+
+        s = b.cast(body.args[0], F64)  # coefficient from the index IV
+        coeff = b.mul(s, s)  # coeff * coeff stays coefficient
+        u0 = b.access(body.args[1], [0])
+        b.yield_(b.mul(coeff, u0))  # coeff * linear is linear
+        b.pop_block()
+        b.return_([b.finish_apply(op)])
+        b.pop_block()
+        verify_and_annotate(b.module)  # must not raise
+
+    def test_select_with_linear_condition_rejected(self):
+        b = NeptuneBuilder()
+        bounds = Bounds.of([0], [8])
+        tt = TempType("float64", bounds)
+        fn = b.make_opdef("selbad", "linear_opdef", [tt], [tt])
+        b.push_block(fn.body)
+        op, body = b.start_apply([fn.body.args[0]], bounds)
+        b.push_block(body)
+        from neptune_tpu.ir import F64
+
+        u0 = b.access(body.args[1], [0])
+        cond = b.cmp("gt", u0, b.constant(0.0, F64))  # u-dependent condition
+        b.yield_(b.select(cond, u0, b.neg(u0)))
+        b.pop_block()
+        b.return_([b.finish_apply(op)])
+        b.pop_block()
+        with pytest.raises(IRError, match="cmp|select|coefficients"):
+            verify_and_annotate(b.module)
+
     def test_nonlinear_opdef_allows_math(self):
         b = NeptuneBuilder()
         bounds = Bounds.of([0], [8])
