@@ -316,6 +316,43 @@ class CompiledModule:
                     i=info.inner_iters, rn=info.resnorm, c=info.converged,
                 )
             return x
+        # fully-fused VMEM-resident CG kernel when eligible (f32, rank-2,
+        # fits VMEM, running on TPU) — ~2x over the XLA while_loop path
+        if (
+            solver == "cg"
+            and precond in (None, "none", "jacobi")
+            and self.backend in ("auto", "pallas")
+        ):
+            from . import pallas_backend
+            from ..solvers import fused
+
+            fn = self.module.lookup(handle.symbol)
+            if (
+                pallas_backend._on_tpu() or config.pallas_interpret
+            ) and fused.supported(self.module, handle.symbol, handle.temp_type):
+                inv_diag = None
+                if precond == "jacobi":
+                    d = handle.diagonal()
+                    safe = jnp.where(d == 0, jnp.ones_like(d), d)
+                    inv_diag = jnp.where(d == 0, jnp.ones_like(d), 1.0 / safe)
+                solve_k = fused.fused_cg(
+                    self.module,
+                    handle.symbol,
+                    tol=tol,
+                    maxiter=max_iters,
+                    inv_diag=inv_diag,
+                    interpret=config.pallas_interpret,
+                )
+                x, iters, rn = solve_k(b)
+                if op.attrs.get("verbose") or profiling.verbose_default():
+                    jax.debug.print(
+                        "[neptune] KSP(cg/fused) {n}: iters={i} resnorm={r:.3e}",
+                        n=handle.symbol,
+                        i=iters,
+                        r=rn,
+                    )
+                return x
+
         M = None
         if precond not in (None, "none"):
             like = jnp.zeros(handle.grid_shape, handle.dtype)
