@@ -92,7 +92,27 @@ def try_execute_apply(op: Operation, operand_arrays: Sequence) -> Optional[objec
         return None
     if not (_on_tpu() or config.pallas_interpret):
         return None
+    if _dma_profitable(op):
+        try:
+            return _execute_dma(
+                op, tuple(operand_arrays), interpret=config.pallas_interpret
+            )
+        except NotImplementedError:
+            pass
     return _execute(op, tuple(operand_arrays), interpret=config.pallas_interpret)
+
+
+def _dma_profitable(op: Operation) -> bool:
+    """The rolling-window DMA kernel pays off when the multi-copy path's
+    (2h+1)x dim-0 read amplification bites: wide dim-0 halos (measured on
+    v5e: 4th-order advection 74 -> 86 Gcell/s). For h0 == 1 the multi-copy
+    path's Mosaic-pipelined block fetches win (87 vs 68 Gcell/s at 4096^2),
+    so narrow stencils stay on it."""
+    sshape: StencilShape = op.attrs.get("shape") or StencilShape(())
+    if not sshape.offsets:
+        return False
+    h0 = max(sshape.halo()[0])
+    return 2 <= h0 <= 8
 
 
 def _execute(op: Operation, operand_arrays, *, interpret: bool):
@@ -269,3 +289,189 @@ def _execute(op: Operation, operand_arrays, *, interpret: bool):
 def _smem_dtype(s):
     d = jnp.asarray(s).dtype
     return d
+
+
+# ---------------------------------------------------------------------------
+# rolling-window DMA kernel: inputs stay in HBM; each grid step DMAs one
+# halo-extended window into a double-buffered VMEM scratch (overlapping the
+# next window's fetch with compute), so every input row crosses HBM once
+# (+2h/S overlap) instead of (2h+1) times as in the multi-copy path.
+# ---------------------------------------------------------------------------
+
+
+def _execute_dma(op: Operation, operand_arrays, *, interpret: bool):
+    out_type: TempType = op.results[0].type
+    n_in = op.attrs.get("num_inputs", len(op.operands))
+    inputs = operand_arrays[:n_in]
+    scalars = operand_arrays[n_in:]
+    bounds: Bounds = op.attrs["bounds"]
+    outer = out_type.bounds
+    rank = outer.rank
+    shape = outer.shape
+    dtype = jnp.dtype(out_type.element)
+
+    sshape: StencilShape = op.attrs.get("shape") or StencilShape(())
+    h0 = max(sshape.halo()[0])
+    # Mosaic requires 8-aligned (sublane) buffer shapes: pad the window halo
+    # up to 8 rows each side so win = slab + 16 stays a multiple of 8
+    h0p = ((h0 + 7) // 8) * 8
+    if h0 > 8:
+        raise NotImplementedError("dma kernel supports dim-0 halo <= 8")
+
+    row_bytes = math.prod(shape[1:]) * dtype.itemsize
+    # working set: n_in double-buffered windows + out block + temps
+    slab = _pick_slab(shape[0], row_bytes, 2 * n_in + 2, h0p)
+    if shape[0] % slab != 0:
+        raise NotImplementedError("dma kernel requires dim0 divisible by slab")
+    n_slabs = shape[0] // slab
+    win = slab + 2 * h0p
+    if win > shape[0]:
+        raise NotImplementedError("window exceeds array extent")
+
+    body = op.region(0)
+    n_results = len(op.results)
+    full_domain = bounds == outer
+
+    def kernel(*refs):
+        hbm_refs = refs[:n_in]
+        scalar_refs = refs[n_in : n_in + len(scalars)]
+        out_refs = refs[n_in + len(scalars) : n_in + len(scalars) + n_results]
+        scratches = refs[n_in + len(scalars) + n_results : -1]
+        sems = refs[-1]  # DMA semaphores, shape (n_in, 2)
+
+        i = pl.program_id(0)
+
+        def window_start(step):
+            # slab, h0p, and shape[0]-win are all multiples of 8, so the
+            # clamped start is too — pl.multiple_of carries the proof Mosaic
+            # needs for the tiled HBM slice
+            ideal = step * slab - h0p
+            w = jnp.clip(ideal, jnp.int32(0), jnp.int32(shape[0] - win)).astype(
+                jnp.int32
+            )
+            return pl.multiple_of(w, 8)
+
+        def start_fetch(step, slot):
+            for k in range(n_in):
+                pltpu.make_async_copy(
+                    hbm_refs[k].at[pl.ds(window_start(step), win)],
+                    scratches[k].at[slot],
+                    sems.at[k, slot],
+                ).start()
+
+        def wait_fetch(slot):
+            for k in range(n_in):
+                pltpu.make_async_copy(
+                    hbm_refs[k].at[pl.ds(jnp.int32(0), win)],
+                    scratches[k].at[slot],
+                    sems.at[k, slot],
+                ).wait()
+
+        # warm-up: first step fetches its own window
+        @pl.when(i == 0)
+        def _():
+            start_fetch(jnp.int32(0), 0)
+
+        # prefetch the next window into the other slot
+        @pl.when(i + 1 < n_slabs)
+        def _():
+            start_fetch(i + 1, (i + 1) % 2)
+
+        wait_fetch(i % 2)
+
+        w = window_start(i)
+        slot = i % 2
+        # Ideal window start is i*slab - h0; at the first/last slabs clamping
+        # shifts it by delta ∈ [-h0, h0]. Mosaic requires static (8-aligned)
+        # sublane slice starts, so instead of dynamic slicing we load the
+        # whole window and roll it by -delta (dynamic_rotate supports traced
+        # shifts): after the roll, scratch row (h0 + o0 + r) is global row
+        # (i*slab + r + o0). Wrapped rows fall in the unspecified out-of-
+        # domain zone and are masked by the copy-through select.
+        delta = (i * slab - jnp.int32(h0p)) - w
+
+        ext_cache: dict = {}
+
+        def ext(k):
+            if k not in ext_cache:
+                v = scratches[k][slot]
+                v = pltpu.roll(v, ((-delta) % win).astype(jnp.int32), axis=0)
+                ext_cache[k] = v
+            return ext_cache[k]
+
+        def access_fn(k, offset):
+            o0 = offset[0]
+            sl = jax.lax.slice_in_dim(ext(k), h0p + o0, h0p + o0 + slab, axis=0)
+            for d in range(1, rank):
+                if offset[d] != 0:
+                    sl = pltpu.roll(sl, jnp.int32((-offset[d]) % shape[d]), axis=d)
+            return sl
+
+        def index_fn(d):
+            if d == 0:
+                base = i * slab + outer.lb[0]
+                iv = jax.lax.broadcasted_iota(jnp.int32, (slab,) + shape[1:], 0)
+                return iv + base
+            iv = jax.lax.broadcasted_iota(jnp.int32, (slab,) + shape[1:], d)
+            return iv + outer.lb[d]
+
+        scalar_vals = [r[0, 0] for r in scalar_refs]
+        yields = jnp_backend.eval_scalar_dag(
+            body, rank, n_in, access_fn, index_fn, scalar_vals
+        )
+
+        mask = None
+        if not full_domain:
+            for d in range(rank):
+                iv = index_fn(d)
+                m = (iv >= bounds.lb[d]) & (iv < bounds.ub[d])
+                mask = m if mask is None else (mask & m)
+
+        for j in range(n_results):
+            val = jnp.broadcast_to(jnp.asarray(yields[j], dtype), (slab,) + shape[1:])
+            if mask is None:
+                out_refs[j][...] = val
+            else:
+                if j < n_in:
+                    seed = jax.lax.slice_in_dim(ext(j), h0p, h0p + slab, axis=0)
+                else:
+                    seed = jnp.zeros((slab,) + shape[1:], dtype)
+                out_refs[j][...] = jnp.where(mask, val, seed)
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(n_in)]
+    for _ in scalars:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1),
+                lambda i: (jnp.int32(0), jnp.int32(0)),
+                memory_space=pltpu.SMEM,
+            )
+        )
+    out_specs = [
+        pl.BlockSpec(
+            (slab,) + shape[1:],
+            lambda i: (jnp.asarray(i, jnp.int32),) + (jnp.int32(0),) * (rank - 1),
+            memory_space=pltpu.VMEM,
+        )
+        for _ in range(n_results)
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((2, win) + shape[1:], dtype) for _ in range(n_in)
+    ] + [pltpu.SemaphoreType.DMA((n_in, 2))]
+
+    scalar_args = [jnp.asarray(s).reshape(1, 1) for s in scalars]
+    call_inputs = [jnp.asarray(a, dtype) for a in inputs] + scalar_args
+    out_shape = [
+        jax.ShapeDtypeStruct(shape, jnp.dtype(r.type.element)) for r in op.results
+    ]
+
+    result = pl.pallas_call(
+        kernel,
+        grid=(n_slabs,),
+        in_specs=in_specs,
+        out_specs=out_specs if n_results > 1 else out_specs[0],
+        out_shape=out_shape if n_results > 1 else out_shape[0],
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+    )(*call_inputs)
+    return result
