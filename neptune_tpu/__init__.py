@@ -51,6 +51,7 @@ from .frontend import (
 )
 from .frontend import abs, cos, erf, exp, log, maximum, minimum, sin, sqrt, tanh
 from .ir.types import Bounds, Location, StencilShape, TempType, TimeMethod
+from .solvers.diff import differentiable_root, differentiable_solve
 from .solvers.time import simulate
 
 __version__ = "0.1.0"
@@ -98,4 +99,6 @@ __all__ = [
     "TempType",
     "TimeMethod",
     "simulate",
+    "differentiable_root",
+    "differentiable_solve",
 ]

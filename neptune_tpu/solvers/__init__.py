@@ -5,6 +5,7 @@ from .assemble import MatrixHandle
 from .krylov import SolveInfo, bicgstab, cg, direct, gmres, solve
 from .newton import NewtonInfo, newton_krylov, picard
 from .precond import extract_diagonal, jacobi, make_preconditioner, ssor_dense
+from .diff import differentiable_root, differentiable_solve
 from .time import simulate
 
 __all__ = [
@@ -23,4 +24,6 @@ __all__ = [
     "make_preconditioner",
     "ssor_dense",
     "simulate",
+    "differentiable_root",
+    "differentiable_solve",
 ]
