@@ -1,11 +1,13 @@
 """Domain decomposition over device meshes — the distributed capability the
 single-process reference lacks (SURVEY.md §2.8)."""
 
+from .distributed import initialize_multihost
 from .halo import allreduce_sum, halo_pad_local, sharded_stencil
 from .mesh import GridMesh, single_device_mesh
 from .sharded import sharded_function, sharded_opdef
 
 __all__ = [
+    "initialize_multihost",
     "allreduce_sum",
     "halo_pad_local",
     "sharded_stencil",

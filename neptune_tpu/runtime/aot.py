@@ -47,7 +47,7 @@ def _cleanup_old_cache(d: Path, max_age_days: int = 7):
 
 
 _CXX = os.environ.get("CXX", "g++")
-_CXXFLAGS = ["-O3", "-march=native", "-fPIC", "-std=c++17"]
+_CXXFLAGS = ["-O3", "-march=native", "-fPIC", "-std=c++17", "-fopenmp"]
 
 
 def _compile(src_path: Path, out_path: Path, extra: list[str] = []):

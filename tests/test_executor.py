@@ -342,3 +342,36 @@ class TestPipelineDumps:
         before = print_module(m)
         run_pipeline(m)
         assert print_module(m) == before
+
+
+class TestTensorBridges:
+    def test_as_tensor_from_tensor_roundtrip(self):
+        # reference NeptuneIROps.td:539-596 interop bridge
+        n = 8
+        b = NeptuneBuilder()
+        bounds = Bounds.of([0], [n])
+        tt = TempType("float64", bounds)
+        entry = b.make_function("f", "func", [tt], [tt])
+        b.push_block(entry.body)
+        t = b.as_tensor(entry.body.args[0])
+        back = b.from_tensor(t, tt)
+        b.return_([back])
+        b.pop_block()
+        cm = compile_ir(b.module)
+        x = _rand(n)
+        np.testing.assert_array_equal(np.asarray(cm.function("f")(x)), x)
+
+
+class TestVmapCompatibility:
+    def test_vmap_over_solves(self):
+        # batched parameter sweeps: vmap over an entire implicit solve
+        import programs as _p
+
+        m = _p.build_allen_cahn_implicit_linear()
+        cm = compile_ir(m)
+        f = cm.function("entry")
+        batch = np.stack([np.sin(np.linspace(0, np.pi, 16)) * s for s in (0.5, 1.0)])
+        outs = jax.vmap(lambda u: f(jnp.zeros(16), u))(jnp.asarray(batch))
+        for k, s in enumerate((0.5, 1.0)):
+            oracle = _p.allen_cahn_implicit_linear_oracle(batch[k])
+            np.testing.assert_allclose(np.asarray(outs)[k], oracle, atol=1e-9)
