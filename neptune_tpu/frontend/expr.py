@@ -27,9 +27,9 @@ from __future__ import annotations
 
 import itertools
 from dataclasses import dataclass, field
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
-from ..ir.types import BOOL, INDEX, Bounds, ScalarType, TempType
+from ..ir.types import BOOL, INDEX, ScalarType, TempType
 
 _leaf_counter = itertools.count()
 

@@ -11,11 +11,11 @@ possible (see frontend.expr).
 from __future__ import annotations
 
 import itertools
-from typing import Callable, Optional, Sequence
+from typing import Callable, Sequence
 
 from ..ir.core import Function
 from ..ir.ops import NeptuneBuilder
-from ..ir.types import Bounds, FunctionType, ScalarType, TempType
+from ..ir.types import Bounds, ScalarType, TempType
 from . import expr as E
 
 _kernel_counter = itertools.count()

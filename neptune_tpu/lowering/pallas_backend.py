@@ -19,7 +19,6 @@ Everything else falls back to the jnp backend via `try_execute_apply -> None`.
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Optional, Sequence
 

@@ -16,7 +16,6 @@ import os
 import subprocess
 import time
 from pathlib import Path
-from typing import Optional
 
 import numpy as np
 

@@ -67,3 +67,57 @@ class TestCheckpoint:
         fields, meta = load_checkpoint(p)
         assert meta["step"] == 2
         np.testing.assert_array_equal(fields["u"], np.ones(4))
+
+
+class TestSimulationDriver:
+    def test_checkpoint_resume(self, tmp_path):
+        from neptune_tpu.utils.driver import SimulationDriver
+        import jax.numpy as jnp
+
+        def step(state):
+            return {"u": state["u"] + 1.0}
+
+        p = tmp_path / "sim.npz"
+        d = SimulationDriver(step, p, checkpoint_every=10)
+        init = {"u": np.zeros(4)}
+        state, n = d.run(init, 25)
+        assert n == 25
+        np.testing.assert_array_equal(state["u"], 25.0)
+
+        # a fresh driver resumes from the checkpoint, not from init
+        d2 = SimulationDriver(step, p, checkpoint_every=10)
+        state2, n2 = d2.run(init, 40)
+        assert n2 == 40
+        np.testing.assert_array_equal(state2["u"], 40.0)
+
+    def test_walltime_budget_stops_early(self, tmp_path):
+        import time as _t
+
+        from neptune_tpu.utils.driver import SimulationDriver
+
+        def slow_step(state):
+            return {"u": state["u"] + 1.0}
+
+        p = tmp_path / "sim2.npz"
+        d = SimulationDriver(slow_step, p, checkpoint_every=1)
+
+        # wrap to burn wall time per chunk
+        orig = d._chunk_runner
+
+        def wrapped(n):
+            f = orig(n)
+
+            def run(s):
+                _t.sleep(0.05)
+                return f(s)
+
+            return run
+
+        d._chunk_runner = wrapped
+        state, n = d.run({"u": np.zeros(2)}, 1000, walltime_budget_s=0.2)
+        assert 0 < n < 1000  # stopped early, after a checkpoint
+        # and the checkpoint matches the reported step
+        from neptune_tpu.utils.checkpoint import load_checkpoint
+
+        _, meta = load_checkpoint(p)
+        assert meta["step"] == n
