@@ -57,9 +57,10 @@ class OpDef:
 
     @property
     def halo(self):
-        ctx = get_context()
-        ctx.compiled()  # ensures verification ran
-        return self.function.attrs.get("halo", ())
+        # annotations land on the verified clone inside the compiled
+        # snapshot (run_pipeline clones), not on the module being traced
+        cm = get_context().compiled()
+        return cm.module.lookup(self.name).attrs.get("halo", ())
 
     def __call__(self, *args):
         ctx = get_context()
@@ -368,6 +369,11 @@ def solve_linear(
     from ..utils import profiling
 
     if precision == "mixed":
+        if precond == "ssor":
+            raise ValueError(
+                "precision='mixed' does not support the ssor preconditioner "
+                "(no f32 assembled matrix); use precond='jacobi' or 'none'"
+            )
         from ..passes.retype import retype_module
         from ..solvers.refine import refined_solve
 

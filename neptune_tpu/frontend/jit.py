@@ -51,6 +51,7 @@ def trace_method(ctx, name: str, bound_method: Callable, sample_args):
     fn = b.make_function(name, "func", arg_types, [])
     ctx.current_function = fn
     b.push_block(fn.body)
+    ok = False
     try:
         exprs = []
         for v in fn.body.args:
@@ -74,9 +75,13 @@ def trace_method(ctx, name: str, bound_method: Callable, sample_args):
         fn.ftype = FunctionType(
             tuple(arg_types), tuple(v.type for v in out_vals)
         )
+        ok = True
     finally:
         b.pop_block()
         ctx.current_function = None
+        if not ok:
+            # don't leave a half-traced, terminator-less symbol behind
+            ctx.module.functions.pop(name, None)
     ctx.bump()
     return fn
 

@@ -291,6 +291,11 @@ class CompiledModule:
         precond = op.attrs.get("precond", "none")
         precision = op.attrs.get("precision", "full")
         if precision == "mixed":
+            if precond == "ssor":
+                raise ValueError(
+                    "precision='mixed' does not support the ssor "
+                    "preconditioner; use precond='jacobi' or 'none'"
+                )
             # f32 inner solves + f64 residual refinement (solvers.refine)
             from ..solvers.refine import refined_solve
 
@@ -326,7 +331,6 @@ class CompiledModule:
             from . import pallas_backend
             from ..solvers import fused
 
-            fn = self.module.lookup(handle.symbol)
             if (
                 pallas_backend._on_tpu() or config.pallas_interpret
             ) and fused.supported(self.module, handle.symbol, handle.temp_type):
@@ -458,7 +462,6 @@ class CompiledModule:
 
     def _explicit_step(self, op: Operation, state, dt):
         rhs_sym = op.attrs["rhs"]
-        rhs_fn = self.module.lookup(rhs_sym)
         rhs = self.opdef(rhs_sym)
         scheme = op.attrs.get("scheme", "euler")
         if scheme == "euler":

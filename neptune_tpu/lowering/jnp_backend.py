@@ -161,13 +161,21 @@ def eval_apply_body(
     out_type: TempType,
     input_arrays: Sequence[jnp.ndarray],
     scalar_args: Sequence,
+    input_lbs: Sequence[tuple] = (),
 ) -> list[jnp.ndarray]:
-    """Vectorized whole-domain evaluation (the jnp backend's hooks)."""
+    """Vectorized whole-domain evaluation (the jnp backend's hooks).
+
+    input_lbs: logical lower bound per input temp; an input whose lb differs
+    from the output's reads at a shifted physical position (storage
+    normalization: physical = logical − lb, ir/types.py).
+    """
     shape = out_type.bounds.shape
     lb = out_type.bounds.lb
 
     def access_fn(k, offset):
-        return shift_read(input_arrays[k], offset)
+        in_lb = input_lbs[k] if k < len(input_lbs) else lb
+        adj = tuple(o + (lo - li) for o, lo, li in zip(offset, lb, in_lb))
+        return shift_read(input_arrays[k], adj)
 
     def index_fn(d):
         return jax.lax.broadcasted_iota(jnp.int32, shape, d) + lb[d]
@@ -214,7 +222,10 @@ def execute_apply(op: Operation, operand_arrays: Sequence):
     bounds: Bounds = op.attrs["bounds"]
     rank = out_type.bounds.rank
 
-    computed = eval_apply_body(op.region(0), rank, n_in, out_type, inputs, scalars)
+    input_lbs = [v.type.bounds.lb for v in op.operands[:n_in]]
+    computed = eval_apply_body(
+        op.region(0), rank, n_in, out_type, inputs, scalars, input_lbs
+    )
 
     outs = []
     for j, c in enumerate(computed):

@@ -4,8 +4,9 @@ TPU-native analog of the reference's hot-loop construction
 (`ApplyToSCFForLowering`, `lib/Passes/DataflowLowering.cpp:258-448`, which
 emits rank-deep scf.for nests): each apply lowers to ONE `pallas_call` whose
 grid walks **slabs along dim 0**, with halo coverage provided by passing the
-same input array (2·h0+1) times under shifted-and-clamped block index maps —
-the Pallas equivalent of ghost cells. Within a slab the full extent of the
+same input array three times (previous/current/next slab blocks) under
+shifted-and-clamped block index maps — the Pallas equivalent of ghost cells
+(any dim-0 halo up to one slab). Within a slab the full extent of the
 trailing dims lives in VMEM, so trailing-dim neighbor reads are register/VPU
 shifts (`pltpu.roll`), and dim-0 neighbor reads are static slices of the
 halo-extended slab. The copy-through boundary contract is enforced in-kernel
@@ -46,7 +47,7 @@ def _on_tpu() -> bool:
         return False
 
 
-def _pick_slab(extent0: int, row_bytes: int, n_copies: int, h0: int) -> int:
+def _pick_slab(extent0: int, row_bytes: int, n_copies: int) -> int:
     """Largest multiple-of-8 slab height whose working set fits the budget."""
     # working set ≈ (n_copies inputs + out + iota/mask/ext temps) * slab rows
     denom = (n_copies + 8) * row_bytes
@@ -67,10 +68,12 @@ def supported(op: Operation) -> bool:
     rank = out_type.bounds.rank
     if rank not in (2, 3):
         return False
-    # all temps must share the output domain (same physical shape)
+    # all temps must share the output domain exactly (the kernels assume
+    # aligned physical arrays; lb-shifted inputs take the jnp path, which
+    # applies the per-input storage-normalization correction)
     n_in = op.attrs.get("num_inputs", len(op.operands))
     for v in op.operands[:n_in]:
-        if v.type.bounds.shape != out_type.bounds.shape:
+        if v.type.bounds != out_type.bounds:
             return False
     shape: StencilShape = op.attrs.get("shape") or StencilShape(())
     if shape.offsets:
@@ -129,11 +132,16 @@ def _execute(op: Operation, operand_arrays, *, interpret: bool):
     halo = sshape.halo() if sshape.offsets else tuple((0, 0) for _ in range(rank))
     h0 = max(halo[0]) if halo else 0
 
-    n_copies = 2 * h0 + 1
+    # Three copies (previous/current/next slab blocks) cover any dim-0 halo
+    # up to one slab: the extended slab is [prev[-h0:], cur, next[:h0]].
+    n_copies = 3 if h0 > 0 else 1
     row_bytes = math.prod(shape[1:]) * dtype.itemsize
-    slab = _pick_slab(shape[0], row_bytes, n_copies * max(n_in, 1), h0)
+    slab = _pick_slab(shape[0], row_bytes, n_copies * max(n_in, 1))
     grid = (pl.cdiv(shape[0], slab),)
     n_slabs = grid[0]
+    if h0 > slab:
+        # halo exceeds a slab: neighbors beyond prev/next are unreachable
+        return jnp_backend.execute_apply(op, operand_arrays)
 
     body = op.region(0)
     n_results = len(op.results)
@@ -147,7 +155,8 @@ def _execute(op: Operation, operand_arrays, *, interpret: bool):
 
         pid = pl.program_id(0)
 
-        # halo-extended slab per input: ext[k] has shape (slab + 2*h0, *trail)
+        # halo-extended slab per input: ext[k] has shape (slab + 2*h0, *trail),
+        # assembled from the previous/current/next slab blocks
         ext_cache: dict[int, jnp.ndarray] = {}
 
         def ext(k):
@@ -155,16 +164,12 @@ def _execute(op: Operation, operand_arrays, *, interpret: bool):
                 if h0 == 0:
                     ext_cache[k] = in_refs[k * n_copies][...]
                 else:
-                    parts = []
-                    for c in range(n_copies):
-                        blk = in_refs[k * n_copies + c][...]
-                        if c == 0:
-                            parts.append(blk[slab - h0 :])
-                        elif c == n_copies - 1:
-                            parts.append(blk[:h0])
-                        else:
-                            parts.append(blk)
-                    ext_cache[k] = jnp.concatenate(parts, axis=0)
+                    prev = in_refs[k * n_copies + 0][...]
+                    cur = in_refs[k * n_copies + 1][...]
+                    nxt = in_refs[k * n_copies + 2][...]
+                    ext_cache[k] = jnp.concatenate(
+                        [prev[slab - h0 :], cur, nxt[:h0]], axis=0
+                    )
             return ext_cache[k]
 
         def access_fn(k, offset):
@@ -211,16 +216,17 @@ def _execute(op: Operation, operand_arrays, *, interpret: bool):
                 out_refs[j][...] = val
             else:
                 if j < n_in:
-                    seed = in_refs[j * n_copies + h0][...]  # center copy
+                    center = 1 if h0 > 0 else 0
+                    seed = in_refs[j * n_copies + center][...]  # current slab
                 else:
                     seed = jnp.zeros((slab,) + shape[1:], dtype)
                 out_refs[j][...] = jnp.where(mask, val, seed)
 
     # --- block specs -------------------------------------------------------
+    copy_offsets = (-1, 0, 1) if n_copies == 3 else (0,)
     in_specs = []
     for k in range(n_in):
-        for c in range(n_copies):
-            d = c - h0
+        for d in copy_offsets:
 
             def index_map(i, d=d):
                 # keep EVERY block index i32 (including the constant trailing
@@ -253,16 +259,14 @@ def _execute(op: Operation, operand_arrays, *, interpret: bool):
         for _ in range(n_results)
     ]
 
-    n_offsets = sum(len({o for o in sshape.offsets}) for _ in range(1)) or 1
+    n_offsets = len(set(sshape.offsets)) or 1
     cost = pl.CostEstimate(
         flops=2 * n_offsets * math.prod(shape) * max(n_in, 1),
         bytes_accessed=(n_in + n_results) * math.prod(shape) * dtype.itemsize,
         transcendentals=0,
     )
 
-    scalar_args = [
-        jnp.asarray(s).reshape(1, 1).astype(_smem_dtype(s)) for s in scalars
-    ]
+    scalar_args = [jnp.asarray(s).reshape(1, 1) for s in scalars]
     call_inputs = []
     for k in range(n_in):
         arr = jnp.asarray(inputs[k], dtype)
@@ -284,10 +288,6 @@ def _execute(op: Operation, operand_arrays, *, interpret: bool):
     )(*call_inputs)
     return result
 
-
-def _smem_dtype(s):
-    d = jnp.asarray(s).dtype
-    return d
 
 
 # ---------------------------------------------------------------------------
@@ -319,7 +319,7 @@ def _execute_dma(op: Operation, operand_arrays, *, interpret: bool):
 
     row_bytes = math.prod(shape[1:]) * dtype.itemsize
     # working set: n_in double-buffered windows + out block + temps
-    slab = _pick_slab(shape[0], row_bytes, 2 * n_in + 2, h0p)
+    slab = _pick_slab(shape[0], row_bytes, 2 * n_in + 2)
     if shape[0] % slab != 0:
         raise NotImplementedError("dma kernel requires dim0 divisible by slab")
     n_slabs = shape[0] // slab

@@ -48,11 +48,10 @@ def retype_module(module: Module, elem: str = "float32") -> Module:
             tuple(_swap(t, elem) for t in fn.ftype.inputs),
             tuple(_swap(t, elem) for t in fn.ftype.results),
         )
+        # op attrs (bounds/shapes) are dtype-free; only value types change
         for op in fn.walk():
             for r in op.results:
                 r.type = _swap(r.type, elem)
-            for k, v in list(op.attrs.items()):
-                pass  # bounds/shapes are dtype-free
         for blk_args in _all_block_args(fn):
             blk_args.type = _swap(blk_args.type, elem)
     return m

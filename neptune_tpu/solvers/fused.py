@@ -65,8 +65,14 @@ def build_inkernel_matvec(module: Module, name: str) -> Callable:
                 inputs = [env[o.uid] for o in op.operands[:n_in]]
                 scalars = [env[o.uid] for o in op.operands[n_in:]]
 
+                in_lbs = [o.type.bounds.lb for o in op.operands[:n_in]]
+
                 def access_fn(k, offset):
-                    return _roll_access(inputs[k], offset)
+                    adj = tuple(
+                        o + (lo - li)
+                        for o, lo, li in zip(offset, outer.lb, in_lbs[k])
+                    )
+                    return _roll_access(inputs[k], adj)
 
                 def index_fn(d):
                     iv = jax.lax.broadcasted_iota(jnp.int32, outer.shape, d)

@@ -121,30 +121,30 @@ def newton_krylov(
 
 
 def picard(
-    fixed_point_map: Callable,
+    residual: Callable,
     x0,
     *,
     tol: float = 1e-8,
     max_iters: int = 200,
     damping: float = 1.0,
 ):
-    """Damped Picard (fixed-point) iteration x <- (1-w) x + w G(x).
+    """Damped Picard / Richardson iteration for F(x) = 0: x <- x - w F(x).
 
-    Offered under the reference's `method` attr vocabulary
-    (`NeptuneIROps.td:697-736` leaves the method string runtime-interpreted).
+    Takes the same residual as newton_krylov (the `solve_nonlinear` contract,
+    NeptuneIROps.td:697-736), converging when I - w dF/dx is a contraction.
+    Convergence test: ||F(x)|| <= tol.
     """
 
     def cond(state):
-        x, delta, k = state
-        return jnp.logical_and(k < max_iters, delta > tol)
+        x, fnorm, k = state
+        return jnp.logical_and(k < max_iters, fnorm > tol)
 
     def body(state):
         x, _, k = state
-        gx = fixed_point_map(x)
-        x_new = taxpy(damping, tscale(1.0, gx), tscale(1.0 - damping, x))
-        delta = tnorm(taxpy(-1.0, x, x_new))
-        return x_new, delta, k + 1
+        F = residual(x)
+        x_new = taxpy(-damping, F, x)
+        return x_new, tnorm(residual(x_new)), k + 1
 
-    one = jnp.asarray(jnp.inf, tnorm(x0).dtype)
-    x, delta, k = jax.lax.while_loop(cond, body, (x0, one, jnp.int32(0)))
-    return x, NewtonInfo(k, delta, delta <= tol, jnp.int32(0))
+    f0 = tnorm(residual(x0))
+    x, fnorm, k = jax.lax.while_loop(cond, body, (x0, f0, jnp.int32(0)))
+    return x, NewtonInfo(k, fnorm, fnorm <= tol, jnp.int32(0))

@@ -37,6 +37,7 @@ def simulate(
 
     else:
         outer = n_steps // record_every
+        remainder = n_steps - outer * record_every
 
         def run(s0):
             def body(s, _):
@@ -44,6 +45,12 @@ def simulate(
                 return s, s
 
             final, traj = jax.lax.scan(body, s0, None, length=outer)
+            if remainder:
+                # run the tail steps so exactly n_steps execute (the trailing
+                # partial chunk is not recorded in traj)
+                final = jax.lax.fori_loop(
+                    0, remainder, lambda i, x: step(x), final
+                )
             return final, traj
 
     return jax.jit(run)(state0) if jit else run(state0)

@@ -196,12 +196,14 @@ class TestNewton:
         np.testing.assert_allclose(np.asarray(x), 1.0, atol=1e-12)
 
     def test_picard(self):
-        # x = cos(x) fixed point
-        def G(x):
-            return jnp.cos(x)
+        # F(x) = x - cos(x) = 0 at the Dottie number; damped Richardson
+        # iteration x <- x - w F(x) reduces to the classic fixed point at w=1
+        def F(x):
+            return x - jnp.cos(x)
 
-        x, info = picard(G, jnp.zeros(4), tol=1e-12, max_iters=200)
+        x, info = picard(F, jnp.zeros(4), tol=1e-12, max_iters=200)
         np.testing.assert_allclose(np.asarray(x), 0.7390851332151607, atol=1e-10)
+        assert bool(info.converged)
 
 
 class TestMatrixHandle:
