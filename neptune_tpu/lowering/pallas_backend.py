@@ -117,6 +117,22 @@ def _dma_profitable(op: Operation) -> bool:
     return 2 <= h0 <= 8
 
 
+def _wrap_shift(arr, d: int, offset: int, size: int):
+    """view[i] = arr[i + offset] with wraparound along axis d.
+
+    Uses pltpu.roll for 32-bit dtypes; Mosaic cannot rotate narrower data
+    ("Rotate with non-32-bit data"), so bf16 takes a slice+concat wrap.
+    """
+    if offset == 0:
+        return arr
+    if arr.dtype.itemsize == 4:
+        return pltpu.roll(arr, jnp.int32((-offset) % size), axis=d)
+    k = offset % size
+    lo = jax.lax.slice_in_dim(arr, k, size, axis=d)
+    hi = jax.lax.slice_in_dim(arr, 0, k, axis=d)
+    return jnp.concatenate([lo, hi], axis=d)
+
+
 def _execute(op: Operation, operand_arrays, *, interpret: bool):
     out_type: TempType = op.results[0].type
     n_in = op.attrs.get("num_inputs", len(op.operands))
@@ -177,13 +193,7 @@ def _execute(op: Operation, operand_arrays, *, interpret: bool):
             e = ext(k)
             sl = jax.lax.slice_in_dim(e, h0 + o0, h0 + o0 + slab, axis=0)
             for d in range(1, rank):
-                if offset[d] != 0:
-                    # pltpu.roll wants a non-negative i32 shift; view[i]=x[i+o]
-                    # is a roll by -o, i.e. (size - o) mod size. The explicit
-                    # int32 matters: under jax_enable_x64 a Python int traces
-                    # as i64, which Mosaic's dynamic_rotate rejects.
-                    shift = jnp.int32((-offset[d]) % shape[d])
-                    sl = pltpu.roll(sl, shift, axis=d)
+                sl = _wrap_shift(sl, d, offset[d], shape[d])
             return sl
 
         def index_fn(d):

