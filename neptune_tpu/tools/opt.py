@@ -13,6 +13,8 @@ Usage:
   neptune-opt FILE.ntir --until high-level-convertion
   neptune-opt FILE.ntir --jaxpr entry            # jaxpr of a function
   neptune-opt FILE.ntir --hlo entry              # optimized-ready HLO text
+  neptune-opt FILE.ntir --run entry --inputs a.npy b.npy   # execute
+  neptune-opt FILE.ntir --run entry --native     # execute on the C++ runtime
   neptune-opt FILE.py ...                        # run a python DSL script and
                                                  # use its traced module
 
@@ -53,6 +55,15 @@ def main(argv=None) -> int:
     ap.add_argument("--until", help="stop after the named stage")
     ap.add_argument("--jaxpr", metavar="FUNC", help="print the jaxpr of FUNC")
     ap.add_argument("--hlo", metavar="FUNC", help="print lowered HLO of FUNC")
+    ap.add_argument("--run", metavar="FUNC", help="execute FUNC and print outputs")
+    ap.add_argument(
+        "--inputs", nargs="*", default=[],
+        help=".npy files (or scalar literals) for --run; zeros when omitted",
+    )
+    ap.add_argument(
+        "--native", action="store_true",
+        help="execute --run on the native C++ runtime instead of JAX",
+    )
     ap.add_argument(
         "--backend",
         default=None,
@@ -74,7 +85,10 @@ def main(argv=None) -> int:
 
     try:
         until = args.until
-        if not (args.pipeline or args.dump_all or until or args.jaxpr or args.hlo):
+        if not (
+            args.pipeline or args.dump_all or until or args.jaxpr or args.hlo
+            or args.run
+        ):
             until = "verify-annotate"
         pr = run_pipeline(module, until=until)
     except IRError as e:
@@ -92,6 +106,50 @@ def main(argv=None) -> int:
                 f.write(final)
         else:
             print(final)
+
+    if args.run:
+        import numpy as np
+
+        irfn = pr.module.lookup(args.run)
+        example = []
+        for i, a in enumerate(irfn.body.args):
+            t = a.type
+            if i < len(args.inputs):
+                src = args.inputs[i]
+                val = (
+                    np.load(src)
+                    if src.endswith(".npy")
+                    else np.asarray(float(src))
+                )
+            elif hasattr(t, "bounds"):
+                val = np.zeros(t.bounds.shape, dtype=t.element)
+            elif hasattr(t, "shape"):
+                val = np.zeros(t.shape, dtype=t.element)
+            else:
+                val = np.zeros(())
+            example.append(val)
+        if args.native:
+            from ..runtime import compile_native
+
+            out = compile_native(pr.module).function(args.run)(*example)
+        else:
+            import jax
+
+            if any(
+                getattr(a.type, "element", None) == "float64"
+                for a in irfn.body.args
+            ):
+                jax.config.update("jax_enable_x64", True)
+            out = pr.compiled(args.backend).function(args.run)(*example)
+        outs = out if isinstance(out, tuple) else (out,)
+        for j, o in enumerate(outs):
+            o = np.asarray(o)
+            print(
+                f"// output {j}: shape={o.shape} dtype={o.dtype} "
+                f"checksum={float(o.sum()):.10g}"
+            )
+            with np.printoptions(threshold=64, precision=6):
+                print(o)
 
     if args.jaxpr or args.hlo:
         import jax

@@ -111,3 +111,38 @@ class TestOptCLI:
         assert "neptune.assemble_matrix" in text
         # the emitted IR re-parses
         parse_module(text)
+
+
+class TestOptRun:
+    def test_run_jax_and_native_agree(self, tmp_path, capsys):
+        # smoke-script parity (reference test/smoke_tests/*.sh compile+run):
+        # execute an entry function from the CLI on both runtimes
+        m = programs.build_allen_cahn_implicit_linear()
+        p = tmp_path / "prog.ntir"
+        p.write_text(print_module(m))
+        uin = np.sin(np.linspace(0, np.pi, 16))
+        np.save(tmp_path / "uin.npy", uin)
+        np.save(tmp_path / "zero.npy", np.zeros(16))
+
+        assert opt_main(
+            [str(p), "--run", "entry", "--inputs",
+             str(tmp_path / "zero.npy"), str(tmp_path / "uin.npy")]
+        ) == 0
+        out_jax = capsys.readouterr().out
+        assert "output 0" in out_jax
+        jax_checksum = [
+            l for l in out_jax.splitlines() if "checksum=" in l
+        ][0].split("checksum=")[1]
+
+        import shutil
+
+        if shutil.which("g++"):
+            assert opt_main(
+                [str(p), "--run", "entry", "--native", "--inputs",
+                 str(tmp_path / "zero.npy"), str(tmp_path / "uin.npy")]
+            ) == 0
+            out_nat = capsys.readouterr().out
+            nat_checksum = [
+                l for l in out_nat.splitlines() if "checksum=" in l
+            ][0].split("checksum=")[1]
+            assert abs(float(jax_checksum) - float(nat_checksum)) < 1e-8
