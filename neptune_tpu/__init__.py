@@ -36,6 +36,8 @@ from .frontend import (
     get_compiler,
     get_context,
     index,
+    interior,
+    on_boundary,
     jit_class,
     jit_compile,
     linear_op_def,
@@ -71,6 +73,8 @@ __all__ = [
     "get_compiler",
     "get_context",
     "index",
+    "interior",
+    "on_boundary",
     "jit_class",
     "jit_compile",
     "linear_op_def",

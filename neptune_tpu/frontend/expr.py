@@ -521,3 +521,30 @@ def where(cond: Expr, a, b) -> Expr:
 def index(dim: int = 0) -> Expr:
     """The logical grid index along `dim` (the apply region's IV)."""
     return Expr(Index(dim))
+
+
+def on_boundary(u: Expr, width: int = 1) -> Expr:
+    """Boolean predicate: true within `width` cells of u's domain edge.
+
+    The DSL shorthand for the index-comparison boundary guards the reference
+    writes by hand with scf.if (smoke_time_advance_nonlinear.mlir:30-36):
+
+        return where(on_boundary(u), u[0] - u_prev[0], interior_residual)
+    """
+    if not isinstance(u, Expr) or not u.node.is_temp:
+        raise TypeError("on_boundary expects a grid-valued Expr")
+    bounds = u.node.ttype.bounds
+    pred = None
+    for d in range(bounds.rank):
+        iv = Expr(Index(d))
+        lo = iv < (bounds.lb[d] + width)
+        hi = iv >= (bounds.ub[d] - width)
+        p = lo | hi
+        pred = p if pred is None else (pred | p)
+    return pred
+
+
+def interior(u: Expr, width: int = 1) -> Expr:
+    """Boolean predicate: true strictly inside u's domain (complement of
+    on_boundary)."""
+    return ~on_boundary(u, width)

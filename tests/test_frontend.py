@@ -315,3 +315,34 @@ class TestJitCompile:
         assert "S_solve" in lib.function_names()
         out = np.asarray(lib.S_solve(u))
         assert np.abs(lap_np(out) - u).max() < 1e-8
+
+
+class TestBoundaryPredicates:
+    def test_on_boundary_1d(self):
+        @ntp.nonlinear_op_def(bounds=([2], [10]))
+        def f(u):
+            return ntp.where(ntp.on_boundary(u), 0.0 * u[0], u[0])
+
+        y = np.asarray(f(np.ones(8)))
+        expected = np.ones(8)
+        expected[0] = expected[-1] = 0.0
+        np.testing.assert_array_equal(y, expected)
+
+    def test_on_boundary_width_2(self):
+        @ntp.nonlinear_op_def(bounds=([0, 0], [8, 8]))
+        def f(u):
+            return ntp.where(ntp.on_boundary(u, width=2), 0.0 * u[0, 0], u[0, 0])
+
+        y = np.asarray(f(np.ones((8, 8))))
+        assert np.all(y[:2, :] == 0) and np.all(y[:, -2:] == 0)
+        assert np.all(y[2:-2, 2:-2] == 1)
+
+    def test_interior_complement(self):
+        @ntp.nonlinear_op_def(bounds=([0], [8]))
+        def f(u):
+            return ntp.where(ntp.interior(u), u[0], 0.0 * u[0])
+
+        y = np.asarray(f(np.ones(8)))
+        expected = np.ones(8)
+        expected[0] = expected[-1] = 0.0
+        np.testing.assert_array_equal(y, expected)
