@@ -104,6 +104,13 @@ def _concrete_array(x):
 
 def _dtype_name(dtype) -> str:
     if dtype is None:
+        if config.default_dtype == "float64":
+            import jax
+
+            # without jax_enable_x64, f64 arrays silently truncate to f32 and
+            # every opdef call would type-mismatch; degrade the default
+            if not jax.config.jax_enable_x64:
+                return "float32"
         return config.default_dtype
     return np.dtype(dtype).name
 
@@ -111,6 +118,27 @@ def _dtype_name(dtype) -> str:
 # ---------------------------------------------------------------------------
 # temps from arrays (eager sources)
 # ---------------------------------------------------------------------------
+
+
+def _dedupe_opdef(ctx, fn) -> str:
+    """If a structurally identical opdef already exists, drop `fn` and reuse
+    the existing symbol (avoids per-call module growth + pipeline re-runs in
+    eager stepping loops); bumps the context only when the module changed."""
+    from ..ir.verify import _structure_key
+
+    key = _structure_key(fn)
+    for other in ctx.module.functions.values():
+        if other is fn or not other.is_opdef:
+            continue
+        if (
+            other.kind == fn.kind
+            and other.ftype == fn.ftype
+            and _structure_key(other) == key
+        ):
+            del ctx.module.functions[fn.name]
+            return other.name
+    ctx.bump()
+    return fn.name
 
 
 def temp(array, lb: Optional[Sequence[int]] = None, location: str = "cell") -> Expr:
@@ -149,7 +177,7 @@ def _opdef_decorator(
         sym = name or func.__name__
         nargs = len(inspect.signature(func).parameters)
         tt = TempType(elem, full, loc)
-        fn, captures = trace_kernel_into_opdef(
+        fn, captures, scalar_caps = trace_kernel_into_opdef(
             ctx.builder,
             sym,
             kind,
@@ -158,6 +186,13 @@ def _opdef_decorator(
             ap_bounds,
             arg_names=list(inspect.signature(func).parameters),
         )
+        if scalar_caps:
+            del ctx.module.functions[sym]
+            raise TypeError(
+                f"@{kind} {sym} captured traced scalars; operator definitions "
+                "must be closed over constants (scalar captures are supported "
+                "in solve_nonlinear residual closures)"
+            )
         if kind == "linear_opdef":
             if captures:
                 raise TypeError(
@@ -244,7 +279,7 @@ def apply(inputs: Sequence, bounds):
                     "eager @apply inputs must be arrays or concrete temps"
                 )
         sym = fresh_kernel_name("_eager_apply")
-        fn, captures = trace_kernel_into_opdef(
+        fn, captures, scalar_caps = trace_kernel_into_opdef(
             ctx.builder,
             sym,
             "nonlinear_opdef",
@@ -252,7 +287,7 @@ def apply(inputs: Sequence, bounds):
             [x.node.ttype for x in exprs],
             ap_bounds,
         )
-        ctx.bump()
+        sym = _dedupe_opdef(ctx, fn)
         args = [x.node.concrete for x in exprs]
         for c in captures:
             if c.concrete is None:
@@ -260,10 +295,16 @@ def apply(inputs: Sequence, bounds):
                     f"eager @apply captured non-concrete temp '{c.name or c.uid}'"
                 )
             args.append(c.concrete)
+        for sc in scalar_caps:
+            if sc.concrete is None:
+                raise TypeError("eager @apply captured a non-concrete scalar")
+            args.append(sc.concrete)
         out = ctx.compiled().opdef(sym)(*args)
+        # every result spans input0's domain (trace_kernel_into_opdef)
+        out_lb = exprs[0].node.ttype.bounds.lb
         if isinstance(out, tuple):
-            return tuple(temp(o, lb=x.node.ttype.bounds.lb) for o, x in zip(out, exprs))
-        return temp(out, lb=exprs[0].node.ttype.bounds.lb)
+            return tuple(temp(o, lb=out_lb) for o in out)
+        return temp(out, lb=out_lb)
 
     return decorator
 
@@ -443,7 +484,7 @@ def solve_nonlinear(
 
     ctx = get_context()
     sym = fresh_kernel_name("_residual")
-    fn, captures = trace_kernel_into_opdef(
+    fn, captures, scalar_caps = trace_kernel_into_opdef(
         ctx.builder,
         sym,
         "nonlinear_opdef",
@@ -451,12 +492,13 @@ def solve_nonlinear(
         [x.node.ttype for x in states],
         states[0].node.ttype.bounds,
     )
-    ctx.bump()
     if len(fn.ftype.results) != len(states):
+        del ctx.module.functions[sym]
         raise TypeError(
             f"residual returns {len(fn.ftype.results)} fields for "
             f"{len(states)} states"
         )
+    sym = _dedupe_opdef(ctx, fn)
 
     nkw = dict(
         tol=tol,
@@ -477,6 +519,13 @@ def solve_nonlinear(
                     "inside a traced function"
                 )
             cap_vals.append(c.ir_value)
+        for sc in scalar_caps:
+            if sc.ir_value is None:
+                raise TypeError(
+                    "residual captured a non-traced scalar inside a traced "
+                    "function"
+                )
+            cap_vals.append(sc.ir_value)
         out = b.solve_nonlinear(
             sym,
             [s.node.ir_value for s in states],
@@ -504,6 +553,10 @@ def solve_nonlinear(
                 "eager mode"
             )
         cap_arrays.append(c.concrete)
+    for sc in scalar_caps:
+        if sc.concrete is None:
+            raise TypeError("residual captured a non-concrete scalar")
+        cap_arrays.append(sc.concrete)
 
     def F(ss):
         out = res_fn(*ss, *cap_arrays)
@@ -535,18 +588,22 @@ def solve_nonlinear(
 def reduce(x, kind: str = "sum", bounds=None):
     """Grid reduction: sum | max | min | l1 | l2."""
     ctx = get_context()
+    src_lb = None
     if isinstance(x, Expr) and isinstance(x.node, E.TempLeaf):
         if x.node.ir_value is not None and ctx.tracing:
             bnds = Bounds.of(*bounds) if bounds is not None else None
             v = ctx.builder.reduce(x.node.ir_value, kind, bnds)
             return Expr(E.ScalarRef(ir_value=v, stype=v.type))
+        src_lb = x.node.ttype.bounds.lb
         x = x.node.concrete
     import jax.numpy as jnp
 
     arr = jnp.asarray(x)
     if bounds is not None:
         lb, ub = bounds
-        arr = arr[tuple(slice(l, u) for l, u in zip(lb, ub))]
+        base = src_lb or (0,) * arr.ndim
+        # bounds are logical; slice at physical = logical - lb
+        arr = arr[tuple(slice(l - b, u - b) for l, u, b in zip(lb, ub, base))]
     return {
         "sum": jnp.sum,
         "max": jnp.max,
@@ -587,6 +644,10 @@ def time_advance(
     ctx = get_context()
 
     if ctx.tracing and isinstance(state, Expr) and state.node.ir_value is not None:
+        if isinstance(dt, Expr):
+            if getattr(dt.node, "ir_value", None) is None:
+                raise TypeError("time_advance dt Expr must be a traced scalar")
+            dt = dt.node.ir_value
         out = ctx.builder.time_advance(
             state.node.ir_value,
             dt,

@@ -438,6 +438,13 @@ class Expr:
             raise TypeError("~ operates on scalar boolean Exprs")
         return Expr(Un("arith.not", self.node, BOOL))
 
+    def __bool__(self):
+        raise TypeError(
+            "neptune Expr has no truth value: use |, &, ~ for boolean logic "
+            "and neptune.where(...) for conditionals (Python's and/or/if "
+            "would silently drop operands)"
+        )
+
     def __hash__(self):
         return id(self.node)
 

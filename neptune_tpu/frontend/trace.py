@@ -128,23 +128,40 @@ def trace_kernel_into_opdef(
     arg_ids = {id(l) for l in arg_leaves}
     captures = [l for l in leaves if id(l) not in arg_ids]
 
+    # lexically captured scalars (e.g. a traced dt arg) become trailing scalar
+    # opdef args, wired through the apply's scalar_params machinery — an
+    # extension of the reference's (Temp...)->(Temp...) signature contract
+    scalar_caps: list[E.ScalarRef] = []
+    for n in out_nodes:
+        E.collect_scalar_refs(n, scalar_caps)
+
     full_bounds = arg_ttypes[0].bounds if arg_ttypes else captures[0].ttype.bounds
     elem = arg_ttypes[0].element if arg_ttypes else captures[0].ttype.element
     loc = arg_ttypes[0].location if arg_ttypes else captures[0].ttype.location
     result_types = [TempType(elem, full_bounds, loc) for _ in out_nodes]
 
-    all_in_types = list(arg_ttypes) + [l.ttype for l in captures]
+    all_in_types = (
+        list(arg_ttypes)
+        + [l.ttype for l in captures]
+        + [s.stype for s in scalar_caps]
+    )
     fn = builder.make_opdef(name, kind, all_in_types, result_types)
     builder.push_block(fn.body)
-    ordered = arg_leaves + captures
+    temp_ordered = arg_leaves + captures
+    n_temps = len(temp_ordered)
     op, body = builder.start_apply(
-        list(fn.body.args), apply_bounds, result_types=result_types
+        list(fn.body.args[:n_temps]),
+        apply_bounds,
+        result_types=result_types,
+        scalar_params=list(fn.body.args[n_temps:]),
     )
     builder.push_block(body)
     rank = full_bounds.rank
     binding: dict = {("index", d): body.args[d] for d in range(rank)}
-    for k, leaf in enumerate(ordered):
+    for k, leaf in enumerate(temp_ordered):
         binding[id(leaf)] = body.args[rank + k]
+    for k, sref in enumerate(scalar_caps):
+        binding[id(sref)] = body.args[rank + n_temps + k]
     memo: dict = {}
     yields = [_emit_scalar(builder, n, binding, memo) for n in out_nodes]
     # element-type coercion on yields
@@ -161,7 +178,7 @@ def trace_kernel_into_opdef(
         results = (results,)
     builder.return_(list(results))
     builder.pop_block()
-    return fn, captures
+    return fn, captures, scalar_caps
 
 
 def emit_apply_inline(

@@ -284,9 +284,19 @@ class NeptuneBuilder(Builder):
     ) -> Function:
         """Create a linear/nonlinear opdef symbol (reference
         NeptuneIROps.td:318-449). Signature contract `(Temp...) -> (Temp...)`
-        per `VerifyAndAnnotate.cpp:62-90`."""
-        for t in list(input_types) + list(result_types):
-            _check(isinstance(t, TempType), f"opdef signature must be temps, got {t}")
+        per `VerifyAndAnnotate.cpp:62-90`, extended here to allow *trailing*
+        scalar inputs (lifted scalar captures such as a traced dt)."""
+        seen_scalar = False
+        for t in input_types:
+            if isinstance(t, ScalarType):
+                seen_scalar = True
+            else:
+                _check(
+                    isinstance(t, TempType) and not seen_scalar,
+                    f"opdef inputs must be temps then trailing scalars, got {t}",
+                )
+        for t in result_types:
+            _check(isinstance(t, TempType), f"opdef results must be temps, got {t}")
         return self.make_function(
             name,
             kind,

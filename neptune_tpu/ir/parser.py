@@ -46,6 +46,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+)
   | (?P<arrow>->)
   | (?P<dims>\d+x[0-9a-z_x]*)
+  | (?P<special>-?inf|nan)
   | (?P<num>-?\d+\.\d+(e[+-]?\d+)?|-?\d+e[+-]?\d+|-?\d+\.?(?![\w.]))
   | (?P<ident>[A-Za-z_][A-Za-z0-9_.]*)
   | (?P<sym>@[A-Za-z0-9_.]+)
@@ -287,8 +288,12 @@ class Parser:
             raw = self.lx.next()
             if raw[0] == "num":
                 val = float(raw[1]) if ("." in raw[1] or "e" in raw[1]) else int(raw[1])
+            elif raw[0] == "special":
+                val = float(raw[1])
+            elif raw[1] in ("true", "false"):
+                val = raw[1] == "true"
             else:
-                val = {"true": True, "false": False}[raw[1]]
+                raise ParseError(f"bad constant literal {raw[1]!r}")
             self.lx.expect(":")
             rtype = self.parse_type()
             op = Operation("arith.constant", [], {"value": val}, [rtype])

@@ -115,7 +115,8 @@ class _Printer:
             return
         if op.name == "arith.constant":
             self.line(
-                f"{head}arith.constant {op.attrs['value']} : {op.results[0].type}"
+                f"{head}arith.constant {_fmt_attr(op.attrs['value'])} : "
+                f"{op.results[0].type}"
             )
             return
 

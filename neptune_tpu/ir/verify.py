@@ -40,10 +40,20 @@ def _err(msg: str):
 
 
 def _verify_opdef_common(fn: Function):
-    """Signature + terminator contract (`VerifyAndAnnotate.cpp:62-95`)."""
-    for t in list(fn.ftype.inputs) + list(fn.ftype.results):
+    """Signature + terminator contract (`VerifyAndAnnotate.cpp:62-95`);
+    trailing scalar inputs (lifted scalar captures) are permitted."""
+    seen_scalar = False
+    for t in fn.ftype.inputs:
+        if isinstance(t, ScalarType):
+            seen_scalar = True
+        elif not isinstance(t, TempType) or seen_scalar:
+            _err(
+                f"@{fn.name}: opdef inputs must be temps then trailing "
+                f"scalars, got {t}"
+            )
+    for t in fn.ftype.results:
         if not isinstance(t, TempType):
-            _err(f"@{fn.name}: opdef signature must be (Temp...) -> (Temp...), got {t}")
+            _err(f"@{fn.name}: opdef results must be temps, got {t}")
     term = fn.body.terminator
     if term is None or term.name != "neptune.return":
         _err(f"@{fn.name}: opdef body must end with neptune.return")
@@ -283,12 +293,22 @@ def _structure_key(fn: Function) -> str:
                     extra = repr(inner.attrs["value"])
                 elif inner.name == "arith.cmp":
                     extra = inner.attrs["pred"]
+                elif inner.name == "arith.cast":
+                    extra = inner.attrs["to"]
                 ser.append(f"{inner.name}{extra}({operands})")
             parts.append("body[" + ";".join(ser) + "]")
             if fn.kind == "nonlinear_opdef":
                 parts.append("ops(" + ",".join(sorted(scalar_ops)) + ")")
         elif op.name in ("neptune.apply_linear", "neptune.apply_nonlinear"):
             parts.append(f"call@{op.attrs['symbol']}")
+        elif op.name != "neptune.return":
+            # any other field-level op (reduce, solver ops in nonlinear
+            # opdef bodies, ...): serialize name + sorted attrs so bodies
+            # differing only here don't collide in the callable cache
+            attrs = ",".join(
+                f"{k}={v!r}" for k, v in sorted(op.attrs.items())
+            )
+            parts.append(f"op:{op.name}[{attrs}]")
     return "|".join(parts)
 
 
@@ -335,6 +355,13 @@ def _opdef_total_shape(fn: Function, module: Module) -> StencilShape:
             if not per_input and n_in > 0:
                 # copy-through-only apply still propagates input0 at offset 0
                 total = get(op.operands[0])
+            out_bounds = op.results[0].type.bounds
+            if op.attrs.get("bounds") != out_bounds:
+                # sub-domain apply: points outside `bounds` are copy-through
+                # seeds from input j (executor semantics) — union their
+                # identity reach so downstream halos stay conservative
+                for j in range(min(len(op.results), n_in)):
+                    total = total.union(get(op.operands[j]))
             reach[op.results[0].uid] = total
         elif op.name in ("neptune.apply_linear", "neptune.apply_nonlinear"):
             callee = module.lookup(op.attrs["symbol"])
