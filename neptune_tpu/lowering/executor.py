@@ -216,7 +216,14 @@ class CompiledModule:
         elif name == "neptune.time_advance_runtime":
             env[op.results[0].uid] = self._time_advance_runtime(op, env)
         elif name in ("neptune.return", "neptune.yield"):
-            return [get(o) for o in op.operands]
+            # field-typed operands return their *current* buffer contents
+            # (post-store), matching unwrap/load and the native runtime
+            return [
+                self._cell_of(o, env, cells)
+                if isinstance(o.type, FieldType)
+                else get(o)
+                for o in op.operands
+            ]
         elif name == "arith.constant":
             env[op.results[0].uid] = jnp.asarray(
                 op.attrs["value"], jnp_backend._scalar_dtype(op.results[0].type)
@@ -268,17 +275,18 @@ class CompiledModule:
                 )
         return jnp_backend.execute_apply(op, operand_arrays)
 
-    def _assemble(self, op: Operation) -> MatrixHandle:
-        sym = op.attrs["symbol"]
+    def _handle_for(self, sym: str) -> MatrixHandle:
         fn = self.module.lookup(sym)
-        tt: TempType = fn.ftype.inputs[0]
         return MatrixHandle(
             symbol=sym,
             matvec=self.opdef(sym),
-            temp_type=tt,
+            temp_type=fn.ftype.inputs[0],
             structure_key_hash=fn.attrs.get("structure_key_hash", 0),
             halo=fn.attrs.get("halo", ()),
         )
+
+    def _assemble(self, op: Operation) -> MatrixHandle:
+        return self._handle_for(op.attrs["symbol"])
 
     def _solve_linear(self, op: Operation, env):
         handle: MatrixHandle = env[op.operands[0].uid]
@@ -295,6 +303,11 @@ class CompiledModule:
                 raise ValueError(
                     "precision='mixed' does not support the ssor "
                     "preconditioner; use precond='jacobi' or 'none'"
+                )
+            if solver == "direct":
+                raise ValueError(
+                    "precision='mixed' does not support solver='direct' "
+                    "(dense LU has no refinement loop); use a Krylov solver"
                 )
             # f32 inner solves + f64 residual refinement (solvers.refine)
             from ..solvers.refine import refined_solve
@@ -336,9 +349,9 @@ class CompiledModule:
             ) and fused.supported(self.module, handle.symbol, handle.temp_type):
                 inv_diag = None
                 if precond == "jacobi":
-                    d = handle.diagonal()
-                    safe = jnp.where(d == 0, jnp.ones_like(d), d)
-                    inv_diag = jnp.where(d == 0, jnp.ones_like(d), 1.0 / safe)
+                    from ..solvers.precond import safe_inv_diag
+
+                    inv_diag = safe_inv_diag(handle.diagonal())
                 solve_k = fused.fused_cg(
                     self.module,
                     handle.symbol,
@@ -418,14 +431,7 @@ class CompiledModule:
             return self._explicit_step(op, state, dt)
         if method == TimeMethod.IMPLICIT_LINEAR:
             sym = op.attrs["system"]
-            fn = self.module.lookup(sym)
-            handle = MatrixHandle(
-                symbol=sym,
-                matvec=self.opdef(sym),
-                temp_type=fn.ftype.inputs[0],
-                structure_key_hash=fn.attrs.get("structure_key_hash", 0),
-                halo=fn.attrs.get("halo", ()),
-            )
+            handle = self._handle_for(sym)
             M = None
             precond = op.attrs.get("precond", "none")
             if precond not in (None, "none"):

@@ -113,6 +113,10 @@ def _dma_profitable(op: Operation) -> bool:
     sshape: StencilShape = op.attrs.get("shape") or StencilShape(())
     if not sshape.offsets:
         return False
+    # the edge-window correction is a *dynamic* dim-0 rotate, which Mosaic
+    # only supports for 32-bit data; bf16 wide stencils stay on multi-copy
+    if jnp.dtype(op.results[0].type.element).itemsize != 4:
+        return False
     h0 = max(sshape.halo()[0])
     return 2 <= h0 <= 8
 

@@ -64,6 +64,9 @@ def runtime_library() -> Path:
     so = d / f"neptune_rt_{h}.so"
     if not so.exists():
         _compile(_RUNTIME_SRC, so)
+    else:
+        so.touch()  # keep the eviction policy from deleting a lib that
+        # cached kernels still reference by absolute path
     return so
 
 
@@ -79,8 +82,11 @@ class NativeCompiledModule:
         self.source = src if keep_source else None
         h = hashlib.sha256(src.encode()).hexdigest()[:16]
         so = d / f"neptune_kernel_{h}.so"
+        # always resolve the runtime library: a cached kernel links to it by
+        # absolute path, so it must exist (and stay atime-fresh) even on the
+        # cache-hit path
+        rt = runtime_library()
         if not so.exists():
-            rt = runtime_library()
             src_path = d / f"neptune_kernel_{h}.cpp"
             src_path.write_text(src)
             _compile(

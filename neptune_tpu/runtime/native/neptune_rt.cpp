@@ -12,9 +12,16 @@
 // modules link against it.
 
 #include <cmath>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <algorithm>
+
+static void nrt_warn_unconverged(const char* what, long iters, double resnorm) {
+  std::fprintf(stderr,
+               "[neptune_rt] WARNING: %s did not converge (iters=%ld "
+               "resnorm=%.3e)\n", what, iters, resnorm);
+}
 
 extern "C" {
 
@@ -86,6 +93,7 @@ void neptune_rt_cg(neptune_matvec_fn A, void* ctx, const double* b, double* x,
     rnorm = std::sqrt(nrt_dot(r, r, n));
     ++k;
   }
+  if (rnorm > target) nrt_warn_unconverged("cg", k, rnorm);
   if (stats) { stats->iters = k; stats->resnorm = rnorm; stats->converged = rnorm <= target; }
   std::free(r); std::free(z); std::free(p); std::free(Ap);
 }
@@ -131,6 +139,7 @@ void neptune_rt_bicgstab(neptune_matvec_fn A, void* ctx, const double* b,
     rnorm = std::sqrt(nrt_dot(r, r, n));
     ++k;
   }
+  if (rnorm > target) nrt_warn_unconverged("bicgstab", k, rnorm);
   if (stats) { stats->iters = k; stats->resnorm = rnorm; stats->converged = rnorm <= target; }
   std::free(r); std::free(rhat); std::free(p); std::free(v); std::free(s); std::free(t);
 }
@@ -207,6 +216,7 @@ void neptune_rt_gmres(neptune_matvec_fn A, void* ctx, const double* b,
     }
     for (long i = 0; i < j; ++i) nrt_axpy(y[i], V + i * n, x, n);
   }
+  if (resnorm > target) nrt_warn_unconverged("gmres", total_iters, resnorm);
   if (stats) { stats->iters = total_iters; stats->resnorm = resnorm; stats->converged = resnorm <= target; }
   std::free(V); std::free(H); std::free(cs); std::free(sn);
   std::free(g); std::free(w); std::free(y);
@@ -283,6 +293,7 @@ void neptune_rt_newton(neptune_residual_fn F, void* fctx, double* u, long n,
     fnorm = fnew;
     ++k;
   }
+  if (fnorm > target) nrt_warn_unconverged("newton", k, fnorm);
   if (stats) { stats->iters = k; stats->resnorm = fnorm; stats->converged = fnorm <= target; }
   std::free(Fu); std::free(rhs); std::free(dx);
   std::free(ut); std::free(rt); std::free(trial);

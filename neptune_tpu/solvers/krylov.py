@@ -218,7 +218,13 @@ def gmres(
             V, H, cs, sn, g, resnorm, done, niters = carry
             active = jnp.logical_not(done)
 
-            w = flat_M(flat_matvec(V[j]))
+            # skip the (dominant-cost) operator+preconditioner application on
+            # steps after convergence was reached within this restart cycle
+            w = jax.lax.cond(
+                done,
+                lambda: jnp.zeros((n,), dtype),
+                lambda: flat_M(flat_matvec(V[j])),
+            )
             # modified Gram-Schmidt against V[0..j]
             def mgs(i, wh):
                 w, h = wh

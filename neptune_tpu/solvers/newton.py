@@ -136,15 +136,17 @@ def picard(
     """
 
     def cond(state):
-        x, fnorm, k = state
+        x, F, fnorm, k = state
         return jnp.logical_and(k < max_iters, fnorm > tol)
 
     def body(state):
-        x, _, k = state
-        F = residual(x)
+        x, F, _, k = state
         x_new = taxpy(-damping, F, x)
-        return x_new, tnorm(residual(x_new)), k + 1
+        F_new = residual(x_new)
+        return x_new, F_new, tnorm(F_new), k + 1
 
-    f0 = tnorm(residual(x0))
-    x, fnorm, k = jax.lax.while_loop(cond, body, (x0, f0, jnp.int32(0)))
+    F0 = residual(x0)
+    x, F, fnorm, k = jax.lax.while_loop(
+        cond, body, (x0, F0, tnorm(F0), jnp.int32(0))
+    )
     return x, NewtonInfo(k, fnorm, fnorm <= tol, jnp.int32(0))

@@ -35,9 +35,16 @@ def extract_diagonal(
     |j_d - i_d| <= max(lo_d, hi_d)).
     """
     shape = like.shape
-    periods = [max(lo, hi) + 1 for lo, hi in halo] or [1]
+    if not halo:
+        raise ValueError(
+            "operator halo metadata missing (empty halo): run "
+            "verify_and_annotate on the module before building a Jacobi "
+            "preconditioner — probing with an unknown stencil reach would "
+            "silently return row sums instead of the diagonal"
+        )
+    periods = [max(lo, hi) + 1 for lo, hi in halo]
     if len(periods) != len(shape):
-        periods = [max(p for p in periods)] * len(shape)
+        periods = [max(periods)] * len(shape)
 
     # Build the probe masks once with NumPy (static, pre-jit constants).
     grids = np.ogrid[tuple(slice(0, s) for s in shape)]
@@ -51,13 +58,16 @@ def extract_diagonal(
     return diag
 
 
+def safe_inv_diag(d: jnp.ndarray) -> jnp.ndarray:
+    """1/d with zero entries mapped to 1 (identity on those points)."""
+    return jnp.where(d == 0, jnp.ones_like(d), 1.0 / jnp.where(d == 0, 1.0, d))
+
+
 def jacobi(matvec: Callable, like: jnp.ndarray, halo) -> Callable:
     """M(x) = x / diag(A), with zero-diagonal entries passed through
     unpreconditioned (identity on those points — keeps boundary copy-through
     rows, which have diag from the identity part, well-defined)."""
-    d = extract_diagonal(matvec, like, halo)
-    safe = jnp.where(d == 0, jnp.ones_like(d), d)
-    inv = jnp.where(d == 0, jnp.ones_like(d), 1.0 / safe)
+    inv = safe_inv_diag(extract_diagonal(matvec, like, halo))
 
     def M(x):
         return x * inv

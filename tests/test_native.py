@@ -94,3 +94,74 @@ class TestNativeScenarios:
         a = nm1.function("entry")(np.zeros(16), uin)
         b = nm2.function("entry")(np.zeros(16), uin)
         np.testing.assert_array_equal(a, b)
+
+
+class TestNativePreconditioning:
+    def test_jacobi_cg_native(self):
+        # native Jacobi used to be silently dropped (nullptr inv_diag)
+        import neptune_tpu as ntp
+
+        ntp.reset_context()
+        n = 64
+
+        @ntp.linear_op_def(
+            bounds=([0], [n]), interior=([1], [n - 1]), name="scaled_lap"
+        )
+        def scaled_lap(u):
+            # SPD: variable diagonal shift + symmetric laplacian part
+            i = ntp.index(0)
+            c = 2.0 + (i * 1.0) * 0.05
+            return c * u[0] + (2.0 * u[0] - u[-1] - u[1])
+
+        b = ntp.get_context().builder
+        from neptune_tpu.ir import TempType, Bounds, TensorType
+
+        tt = TempType("float64", Bounds.of([0], [n]))
+        entry = b.make_function("entry", "func", [tt], [tt])
+        b.push_block(entry.body)
+        A = b.assemble_matrix("scaled_lap")
+        x = b.solve_linear(
+            A, entry.body.args[0], solver="cg", tol=1e-12, max_iters=5000,
+            precond="jacobi",
+        )
+        b.return_([x])
+        b.pop_block()
+        ntp.get_context().bump()
+
+        nm = compile_native(ntp.get_context().module, keep_source=True)
+        assert "jp_inv" in nm.source  # probing code was emitted
+        rhs = np.random.default_rng(0).standard_normal(n)
+        out = nm.function("entry")(rhs)
+        # residual check via the jax opdef
+        mv = ntp.get_context().compiled().opdef("scaled_lap")
+        res = np.abs(np.asarray(mv(out)) - rhs).max()
+        assert res < 1e-8
+        ntp.reset_context()
+
+    def test_unsupported_precond_rejected(self):
+        import neptune_tpu as ntp
+        from neptune_tpu.ir import Bounds, TempType
+
+        ntp.reset_context()
+
+        @ntp.linear_op_def(bounds=([0], [16]), interior=([1], [15]), name="l2")
+        def l2(u):
+            return 2.0 * u[0] - u[-1] - u[1]
+
+        b = ntp.get_context().builder
+        tt = TempType("float64", Bounds.of([0], [16]))
+        entry = b.make_function("entry", "func", [tt], [tt])
+        b.push_block(entry.body)
+        A = b.assemble_matrix("l2")
+        x = b.solve_linear(
+            A, entry.body.args[0], solver="gmres", precond="jacobi"
+        )
+        b.return_([x])
+        b.pop_block()
+        with pytest.raises(CodegenError, match="jacobi.*cg|cg.*jacobi"):
+            generate_cpp(
+                __import__("neptune_tpu.passes", fromlist=["run_pipeline"])
+                .run_pipeline(ntp.get_context().module)
+                .module
+            )
+        ntp.reset_context()
