@@ -165,6 +165,7 @@ def _opdef_decorator(
     name: Optional[str],
     dtype,
     interior,
+    periodic: bool = False,
 ):
     lb, ub = bounds
     full = Bounds.of(lb, ub)
@@ -185,6 +186,7 @@ def _opdef_decorator(
             [tt] * nargs,
             ap_bounds,
             arg_names=list(inspect.signature(func).parameters),
+            periodic=periodic,
         )
         if scalar_caps:
             del ctx.module.functions[sym]
@@ -222,6 +224,7 @@ def linear_op_def(
     name: Optional[str] = None,
     dtype=None,
     interior=None,
+    periodic: bool = False,
 ):
     """Define a linear operator symbol (reference `dsl.py:28-59`;
     IR op `neptune_ir.linear_opdef`, NeptuneIROps.td:318-382).
@@ -230,7 +233,9 @@ def linear_op_def(
     def laplacian(u):
         return u[0]*2 - u[-1] - u[1]
     """
-    return _opdef_decorator("linear_opdef", bounds, location, name, dtype, interior)
+    return _opdef_decorator(
+        "linear_opdef", bounds, location, name, dtype, interior, periodic
+    )
 
 
 def nonlinear_op_def(
@@ -239,11 +244,14 @@ def nonlinear_op_def(
     name: Optional[str] = None,
     dtype=None,
     interior=None,
+    periodic: bool = False,
 ):
     """Define a nonlinear operator symbol (IR op `neptune_ir.nonlinear_opdef`,
     NeptuneIROps.td:385-449 — present in the reference IR but never exposed to
     Python there)."""
-    return _opdef_decorator("nonlinear_opdef", bounds, location, name, dtype, interior)
+    return _opdef_decorator(
+        "nonlinear_opdef", bounds, location, name, dtype, interior, periodic
+    )
 
 
 # ---------------------------------------------------------------------------

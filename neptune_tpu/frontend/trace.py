@@ -107,13 +107,14 @@ def trace_kernel_into_opdef(
     arg_ttypes: Sequence[TempType],
     apply_bounds: Bounds,
     arg_names: Sequence[str] = (),
-) -> tuple[Function, list[E.TempLeaf]]:
+    periodic: bool = False,
+) -> tuple[Function, list[E.TempLeaf], list[E.ScalarRef]]:
     """Run `kernel` over fresh symbolic args and emit a complete opdef.
 
-    Returns (opdef function, capture leaves) — captures are temps the kernel
-    closed over lexically; they are appended to the opdef's signature (the
-    generalization of the reference's fixed 0..2-capture nonlinear ABI,
-    `RuntimeLowering.cpp:217-378`).
+    Returns (opdef function, temp captures, scalar captures) — captures are
+    values the kernel closed over lexically; temps and then scalars are
+    appended to the opdef's signature (generalizing the reference's fixed
+    0..2-capture nonlinear ABI, `RuntimeLowering.cpp:217-378`).
     """
     arg_leaves = [
         E.TempLeaf(tt, name=arg_names[i] if i < len(arg_names) else f"arg{i}")
@@ -154,6 +155,7 @@ def trace_kernel_into_opdef(
         apply_bounds,
         result_types=result_types,
         scalar_params=list(fn.body.args[n_temps:]),
+        periodic=periodic,
     )
     builder.push_block(body)
     rank = full_bounds.rank

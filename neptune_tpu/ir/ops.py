@@ -134,6 +134,7 @@ class NeptuneBuilder(Builder):
         result_type: Optional[TempType] = None,
         scalar_params: Sequence[Value] = (),
         result_types: Optional[Sequence[TempType]] = None,
+        periodic: bool = False,
     ) -> tuple[Operation, Block]:
         """Create an apply op with an empty region; caller fills the body and
         then calls `finish_apply`.
@@ -184,10 +185,17 @@ class NeptuneBuilder(Builder):
             + [f"in{k}" for k in range(len(inputs))]
             + [f"s{k}" for k in range(len(scalar_params))],
         )
+        attrs = {"bounds": bounds, "num_inputs": len(inputs)}
+        if periodic:
+            # out-of-domain accesses are *specified* to wrap (torus domain);
+            # every backend must honor it (jnp/fused already wrap; the Pallas
+            # multi-copy path wraps its block index maps; the native runtime
+            # uses modular indexing)
+            attrs["periodic"] = True
         op = self.create(
             "neptune.apply",
             list(inputs) + list(scalar_params),
-            attrs={"bounds": bounds, "num_inputs": len(inputs)},
+            attrs=attrs,
             result_types=rtypes,
             regions=[body],
         )

@@ -110,6 +110,10 @@ def _dma_profitable(op: Operation) -> bool:
     v5e: 4th-order advection 74 -> 86 Gcell/s). For h0 == 1 the multi-copy
     path's Mosaic-pipelined block fetches win (87 vs 68 Gcell/s at 4096^2),
     so narrow stencils stay on it."""
+    if op.attrs.get("periodic"):
+        # the DMA window clamps at the domain edge; periodic wrap needs the
+        # multi-copy path's modular block index maps
+        return False
     sshape: StencilShape = op.attrs.get("shape") or StencilShape(())
     if not sshape.offsets:
         return False
@@ -166,6 +170,7 @@ def _execute(op: Operation, operand_arrays, *, interpret: bool):
     body = op.region(0)
     n_results = len(op.results)
     full_domain = bounds == outer
+    periodic = bool(op.attrs.get("periodic"))
 
     def kernel(*refs):
         # refs: [n_in * n_copies slab inputs] + [scalars (SMEM)] + [outs]
@@ -247,9 +252,14 @@ def _execute(op: Operation, operand_arrays, *, interpret: bool):
                 # zeros): under jax_enable_x64 promoted i64 indices break
                 # Mosaic (convert recursion / unlegalizable func.return)
                 i = jnp.asarray(i, jnp.int32)
-                return (
-                    jnp.clip(i + jnp.int32(d), jnp.int32(0), jnp.int32(n_slabs - 1)),
-                ) + (jnp.int32(0),) * (rank - 1)
+                if periodic:
+                    # torus domain: neighbor slabs wrap around
+                    i0 = (i + jnp.int32(d)) % jnp.int32(n_slabs)
+                else:
+                    i0 = jnp.clip(
+                        i + jnp.int32(d), jnp.int32(0), jnp.int32(n_slabs - 1)
+                    )
+                return (i0,) + (jnp.int32(0),) * (rank - 1)
 
             in_specs.append(
                 pl.BlockSpec(
