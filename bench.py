@@ -174,9 +174,10 @@ def full_suite():
     import jax as _jax
     from neptune_tpu.solvers.fused import fused_cg
 
+    from neptune_tpu.solvers.precond import safe_inv_diag
+
     cm = ntp.get_context().compiled()
-    d = H.diagonal()
-    inv_diag = jnp.where(d == 0, 1.0, 1.0 / jnp.where(d == 0, 1.0, d))
+    inv_diag = safe_inv_diag(H.diagonal())
     solve_f = fused_cg(cm.module, "poisson", tol=1e-5, maxiter=2000,
                        inv_diag=inv_diag)
 

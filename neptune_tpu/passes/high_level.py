@@ -139,8 +139,15 @@ def convert_time_advance(module: Module) -> Module:
                     )
                     if isinstance(new, tuple):
                         new = new[0]
-                else:  # RUNTIME: method becomes a runtime i32 operand
-                    mval = b.constant(op.attrs["method"], I32)
+                else:
+                    # RUNTIME: the runtime op's method operand uses the
+                    # reference *runtime* codes (0 pass-through / 1 copy /
+                    # 2 forward Euler, NeptunePETScRuntime.cpp:637-717),
+                    # which differ from the IR TimeMethod enum (SURVEY §2.3).
+                    # A statically-RUNTIME time_advance means "step forward",
+                    # i.e. code 2; programs wanting true runtime dispatch
+                    # build time_advance_runtime directly with a traced i32.
+                    mval = b.constant(2, I32)
                     new = b.time_advance_runtime(
                         state, dt, mval, op.attrs.get("rhs")
                     )

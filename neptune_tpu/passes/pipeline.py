@@ -62,6 +62,11 @@ def run_pipeline(
     With clone=True the input module is left untouched (so a frontend can keep
     tracing into it while compiled snapshots execute).
     """
+    if until is not None and until not in {name for name, _ in STAGES}:
+        raise ValueError(
+            f"unknown pipeline stage {until!r}; stages: "
+            + ", ".join(name for name, _ in STAGES)
+        )
     m = module.clone() if clone else module
     dumps: dict[str, str] = {}
     if collect_dumps:

@@ -95,17 +95,16 @@ def main(argv=None) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 1
 
+    final = list(pr.dumps.values())[-1]
     if args.dump_all:
         for stage, dump in pr.dumps.items():
             print(f"// ----- IR after {stage} -----")
             print(dump)
-    else:
-        final = list(pr.dumps.values())[-1]
-        if args.output:
-            with open(args.output, "w") as f:
-                f.write(final)
-        else:
-            print(final)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(final)
+    elif not args.dump_all:
+        print(final)
 
     if args.run:
         import numpy as np
@@ -129,9 +128,11 @@ def main(argv=None) -> int:
                 val = np.zeros(())
             example.append(val)
         if args.native:
-            from ..runtime import compile_native
+            from ..runtime import NativeCompiledModule
 
-            out = compile_native(pr.module).function(args.run)(*example)
+            # pr.module is already lowered; compile it directly rather than
+            # re-running the pipeline through compile_native
+            out = NativeCompiledModule(pr.module).function(args.run)(*example)
         else:
             import jax
 

@@ -26,6 +26,12 @@ def save_checkpoint(
     """Write fields + metadata atomically (tmp file + rename)."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
+    for k in fields:
+        if k in ("__meta__", "file"):
+            raise ValueError(
+                f"field name {k!r} is reserved ('__meta__' holds checkpoint "
+                "metadata; 'file' collides with np.savez's first argument)"
+            )
     arrays = {k: np.asarray(v) for k, v in fields.items()}
     payload = dict(arrays)
     payload["__meta__"] = np.frombuffer(

@@ -34,6 +34,8 @@ class SimulationDriver:
         checkpoint_every: int = 100,
         dt: float = 0.0,
     ):
+        if int(checkpoint_every) < 1:
+            raise ValueError("checkpoint_every must be >= 1")
         self.step = step
         self.path = Path(checkpoint_path)
         self.every = int(checkpoint_every)
