@@ -22,18 +22,36 @@ def simulate(
     *,
     record_every: Optional[int] = None,
     jit: bool = True,
+    differentiable: bool = False,
 ):
     """Run `state = step(state)` n_steps times on-device.
 
     record_every=k additionally returns the state every k steps, stacked on a
     leading axis (for trajectories/visualization). The state may be any
     pytree (multi-field systems).
+
+    differentiable=True builds the loop with `lax.scan` so reverse-mode AD
+    works through the whole simulation (adjoint time integration; XLA
+    checkpoints per-step residuals — combine with jax.checkpoint on `step`
+    for long horizons). The default `fori_loop` form is cheaper to compile
+    but not reverse-differentiable.
     """
 
     if record_every is None:
 
-        def run(s0):
-            return jax.lax.fori_loop(0, n_steps, lambda i, s: step(s), s0)
+        if differentiable:
+
+            def run(s0):
+                def body(s, _):
+                    return step(s), None
+
+                final, _ = jax.lax.scan(body, s0, None, length=n_steps)
+                return final
+
+        else:
+
+            def run(s0):
+                return jax.lax.fori_loop(0, n_steps, lambda i, s: step(s), s0)
 
     else:
         outer = n_steps // record_every

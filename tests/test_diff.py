@@ -129,3 +129,23 @@ class TestDifferentiableRoot:
         g = np.asarray(jax.grad(loss)(u0))
         idx, g_fd = _fd_grad(lambda uu: float(loss(jnp.asarray(uu))), np.asarray(u0))
         np.testing.assert_allclose(g.flat[idx], g_fd, rtol=1e-4, atol=1e-7)
+
+
+class TestAdjointSimulation:
+    def test_grad_through_simulate(self):
+        # adjoint time integration: d(loss of final state)/d(initial state)
+        # through 20 explicit steps via simulate(differentiable=True)
+        def lap(x):
+            return 2 * x - jnp.roll(x, 1).at[0].set(0) - jnp.roll(x, -1).at[-1].set(0)
+
+        def step(u):
+            return u - 0.1 * lap(u)
+
+        def loss(u0):
+            uT = ntp.simulate(step, u0, 20, differentiable=True, jit=False)
+            return jnp.sum(uT**2)
+
+        u0 = jnp.asarray(np.random.default_rng(0).standard_normal(12))
+        g = np.asarray(jax.grad(loss)(u0))
+        idx, g_fd = _fd_grad(lambda uu: float(loss(jnp.asarray(uu))), np.asarray(u0))
+        np.testing.assert_allclose(g.flat[idx], g_fd, rtol=1e-5, atol=1e-8)
