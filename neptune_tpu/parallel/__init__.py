@@ -5,6 +5,7 @@ from .distributed import initialize_multihost
 from .halo import allreduce_sum, halo_pad_local, sharded_stencil
 from .mesh import GridMesh, single_device_mesh
 from .sharded import sharded_function, sharded_opdef
+from .sharded_apply import shardmap_opdef
 
 __all__ = [
     "initialize_multihost",
@@ -15,4 +16,5 @@ __all__ = [
     "single_device_mesh",
     "sharded_function",
     "sharded_opdef",
+    "shardmap_opdef",
 ]

@@ -153,3 +153,68 @@ class TestShardMapHalo:
         f = jax.jit(sharded_stencil(local_sweep, gm, ((1, 1), (1, 1)), 2))
         out = np.asarray(f(gm.shard(jnp.asarray(x))))
         np.testing.assert_allclose(out, lap2d_np(x), atol=1e-13)
+
+
+class TestShardMapOpdef:
+    def test_matches_local_execution(self):
+        # explicit-communication sharded matvec == single-device result
+        from neptune_tpu.parallel import shardmap_opdef
+
+        make_lap2d(64)
+        gm = GridMesh((4, 2), ("x", "y"))
+        cm = ntp.get_context().compiled()
+        f = jax.jit(shardmap_opdef(cm, "lap2d", gm))
+        x = np.random.default_rng(7).standard_normal((64, 64))
+        out = np.asarray(f(gm.shard(jnp.asarray(x))))
+        np.testing.assert_allclose(out, lap2d_np(x), atol=1e-13)
+
+    def test_composite_operator_one_exchange(self):
+        # ac_A-style wrapper: exchange depth = composed reach, result matches
+        from neptune_tpu.parallel import shardmap_opdef
+        from neptune_tpu.ir import Bounds, TempType, F64
+
+        n = 64
+        make_lap2d(n)
+        ctx = ntp.get_context()
+        b = ctx.builder
+        tt = TempType("float64", Bounds.of([0, 0], [n, n]))
+        fn = b.make_opdef("wrapped", "linear_opdef", [tt], [tt])
+        b.push_block(fn.body)
+        lapx = b.apply_linear("lap2d", [fn.body.args[0]])
+        lap2x = b.apply_linear("lap2d", [lapx])  # composed reach = 2
+        op, body = b.start_apply([fn.body.args[0], lap2x], tt.bounds)
+        b.push_block(body)
+        x0 = b.access(body.args[2], [0, 0])
+        l0 = b.access(body.args[3], [0, 0])
+        b.yield_(b.add(x0, b.mul(b.constant(0.01, F64), l0)))
+        b.pop_block()
+        b.return_([b.finish_apply(op)])
+        b.pop_block()
+        ctx.bump()
+
+        cm = ctx.compiled()
+        assert cm.module.lookup("wrapped").attrs["halo"] == ((2, 2), (2, 2))
+        gm = GridMesh((4, 2), ("x", "y"))
+        f = jax.jit(shardmap_opdef(cm, "wrapped", gm))
+        x = np.random.default_rng(8).standard_normal((n, n))
+        out = np.asarray(f(gm.shard(jnp.asarray(x))))
+        ref = np.asarray(cm.opdef("wrapped")(x))
+        np.testing.assert_allclose(out, ref, atol=1e-12)
+
+    def test_sharded_cg_through_shardmap_matvec(self):
+        from neptune_tpu.parallel import shardmap_opdef
+        from neptune_tpu.solvers import cg
+
+        make_lap2d(64)
+        gm = GridMesh((4, 2), ("x", "y"))
+        cm = ntp.get_context().compiled()
+        mv = shardmap_opdef(cm, "lap2d", gm)
+        b = np.random.default_rng(9).standard_normal((64, 64))
+
+        @jax.jit
+        def solve(b):
+            x, info = cg(mv, b, tol=1e-12, maxiter=3000)
+            return x
+
+        x = np.asarray(solve(gm.shard(jnp.asarray(b))))
+        np.testing.assert_allclose(lap2d_np(x), b, atol=1e-8)
