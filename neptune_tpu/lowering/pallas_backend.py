@@ -498,3 +498,171 @@ def _execute_dma(op: Operation, operand_arrays, *, interpret: bool):
         interpret=interpret,
     )(*call_inputs)
     return result
+
+
+# ---------------------------------------------------------------------------
+# shard-local execution: run one apply on a halo-extended local block whose
+# global position is only known at runtime (shard_map). Same slab-blocked
+# kernel as _execute, but the domain shape is the extended block and the
+# logical coordinates come from a traced per-dim global start (SMEM scalars).
+# ---------------------------------------------------------------------------
+
+
+def window_supported(op: Operation, ext_shape) -> bool:
+    if not supported(op):
+        return False
+    if math.prod(ext_shape) < 64 * 128:
+        return False
+    return True
+
+
+def execute_apply_window(
+    op: Operation, ext_arrays, scalars, ext_shape, global_start, *, interpret
+):
+    """Apply over an extended local window with traced global coordinates.
+
+    global_start[d]: traced int32 global logical coordinate of window row 0.
+    Returns arrays of ext_shape (caller carves out the interior).
+    """
+    out_type: TempType = op.results[0].type
+    n_in = op.attrs.get("num_inputs", len(op.operands))
+    bounds: Bounds = op.attrs["bounds"]
+    outer = out_type.bounds
+    rank = outer.rank
+    shape = tuple(ext_shape)
+    dtype = jnp.dtype(out_type.element)
+
+    sshape: StencilShape = op.attrs.get("shape") or StencilShape(())
+    halo = sshape.halo() if sshape.offsets else tuple((0, 0) for _ in range(rank))
+    h0 = max(halo[0]) if halo else 0
+
+    n_copies = 3 if h0 > 0 else 1
+    row_bytes = math.prod(shape[1:]) * dtype.itemsize
+    slab = _pick_slab(shape[0], row_bytes, n_copies * max(n_in, 1))
+    grid = (pl.cdiv(shape[0], slab),)
+    n_slabs = grid[0]
+    if h0 > slab:
+        raise NotImplementedError("window halo exceeds slab")
+
+    body = op.region(0)
+    n_results = len(op.results)
+    full_domain = bounds == outer
+    n_scalars = len(scalars)
+
+    def kernel(*refs):
+        in_refs = refs[: n_in * n_copies]
+        start_refs = refs[n_in * n_copies : n_in * n_copies + rank]
+        scalar_refs = refs[
+            n_in * n_copies + rank : n_in * n_copies + rank + n_scalars
+        ]
+        out_refs = refs[n_in * n_copies + rank + n_scalars :]
+
+        pid = pl.program_id(0)
+
+        ext_cache: dict[int, jnp.ndarray] = {}
+
+        def ext(k):
+            if k not in ext_cache:
+                if h0 == 0:
+                    ext_cache[k] = in_refs[k * n_copies][...]
+                else:
+                    prev = in_refs[k * n_copies + 0][...]
+                    cur = in_refs[k * n_copies + 1][...]
+                    nxt = in_refs[k * n_copies + 2][...]
+                    ext_cache[k] = jnp.concatenate(
+                        [prev[slab - h0 :], cur, nxt[:h0]], axis=0
+                    )
+            return ext_cache[k]
+
+        def access_fn(k, offset):
+            sl = jax.lax.slice_in_dim(
+                ext(k), h0 + offset[0], h0 + offset[0] + slab, axis=0
+            )
+            for d in range(1, rank):
+                sl = _wrap_shift(sl, d, offset[d], shape[d])
+            return sl
+
+        def index_fn(d):
+            iv = jax.lax.broadcasted_iota(jnp.int32, (slab,) + shape[1:], d)
+            if d == 0:
+                return iv + pid * slab + start_refs[0][0, 0]
+            return iv + start_refs[d][0, 0]
+
+        scalar_vals = [r[0, 0] for r in scalar_refs]
+        yields = jnp_backend.eval_scalar_dag(
+            body, rank, n_in, access_fn, index_fn, scalar_vals
+        )
+
+        mask = None
+        if not full_domain:
+            for d in range(rank):
+                iv = index_fn(d)
+                m = (iv >= bounds.lb[d]) & (iv < bounds.ub[d])
+                mask = m if mask is None else (mask & m)
+
+        for j in range(n_results):
+            val = jnp.broadcast_to(
+                jnp.asarray(yields[j], dtype), (slab,) + shape[1:]
+            )
+            if mask is None:
+                out_refs[j][...] = val
+            else:
+                center = 1 if h0 > 0 else 0
+                seed = (
+                    in_refs[j * n_copies + center][...]
+                    if j < n_in
+                    else jnp.zeros((slab,) + shape[1:], dtype)
+                )
+                out_refs[j][...] = jnp.where(mask, val, seed)
+
+    copy_offsets = (-1, 0, 1) if n_copies == 3 else (0,)
+    in_specs = []
+    for k in range(n_in):
+        for d in copy_offsets:
+
+            def index_map(i, d=d):
+                i = jnp.asarray(i, jnp.int32)
+                i0 = jnp.clip(
+                    i + jnp.int32(d), jnp.int32(0), jnp.int32(n_slabs - 1)
+                )
+                return (i0,) + (jnp.int32(0),) * (rank - 1)
+
+            in_specs.append(
+                pl.BlockSpec((slab,) + shape[1:], index_map, memory_space=pltpu.VMEM)
+            )
+    for _ in range(rank + n_scalars):
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1),
+                lambda i: (jnp.int32(0), jnp.int32(0)),
+                memory_space=pltpu.SMEM,
+            )
+        )
+    out_specs = [
+        pl.BlockSpec(
+            (slab,) + shape[1:],
+            lambda i: (jnp.asarray(i, jnp.int32),) + (jnp.int32(0),) * (rank - 1),
+            memory_space=pltpu.VMEM,
+        )
+        for _ in range(n_results)
+    ]
+
+    call_inputs = []
+    for k in range(n_in):
+        call_inputs.extend([jnp.asarray(ext_arrays[k], dtype)] * n_copies)
+    for d in range(rank):
+        call_inputs.append(
+            jnp.asarray(global_start[d], jnp.int32).reshape(1, 1)
+        )
+    call_inputs.extend(jnp.asarray(s).reshape(1, 1) for s in scalars)
+
+    out_shape = [jax.ShapeDtypeStruct(shape, dtype) for _ in range(n_results)]
+    result = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs if n_results > 1 else out_specs[0],
+        out_shape=out_shape if n_results > 1 else out_shape[0],
+        interpret=interpret,
+    )(*call_inputs)
+    return result

@@ -30,7 +30,7 @@ from .mesh import GridMesh
 
 
 def _eval_apply_local(
-    op: Operation, ext_arrays, scalars, ext_shape, global_start
+    op: Operation, ext_arrays, scalars, ext_shape, global_start, backend="jnp"
 ):
     """Evaluate one apply over a halo-extended local block.
 
@@ -44,6 +44,23 @@ def _eval_apply_local(
     bounds: Bounds = op.attrs["bounds"]
     outer = out_type.bounds
     rank = outer.rank
+
+    if backend == "pallas":
+        from ..config import config
+        from ..lowering import pallas_backend
+
+        if pallas_backend.window_supported(op, ext_shape) and (
+            pallas_backend._on_tpu() or config.pallas_interpret
+        ):
+            return pallas_backend.execute_apply_window(
+                op,
+                ext_arrays,
+                scalars,
+                ext_shape,
+                global_start,
+                interpret=config.pallas_interpret,
+            )
+
     input_lbs = [v.type.bounds.lb for v in op.operands[:n_in]]
 
     def access_fn(k, offset):
@@ -79,7 +96,9 @@ def _eval_apply_local(
     return outs[0] if len(outs) == 1 else tuple(outs)
 
 
-def _eval_opdef_local(module: Module, name: str, ext_args, ext_shape, start):
+def _eval_opdef_local(
+    module: Module, name: str, ext_args, ext_shape, start, backend="jnp"
+):
     """Run an opdef body on halo-extended blocks (intermediate results keep
     the extended domain; values in the margin become progressively garbage,
     which is fine — the final interior is within every stage's valid zone
@@ -92,7 +111,7 @@ def _eval_opdef_local(module: Module, name: str, ext_args, ext_shape, start):
             n_in = op.attrs.get("num_inputs", len(op.operands))
             ins = [env[o.uid] for o in op.operands[:n_in]]
             scs = [env[o.uid] for o in op.operands[n_in:]]
-            res = _eval_apply_local(op, ins, scs, ext_shape, start)
+            res = _eval_apply_local(op, ins, scs, ext_shape, start, backend)
             if len(op.results) == 1:
                 env[op.results[0].uid] = res
             else:
@@ -105,6 +124,7 @@ def _eval_opdef_local(module: Module, name: str, ext_args, ext_shape, start):
                 [env[o.uid] for o in op.operands],
                 ext_shape,
                 start,
+                backend,
             )
             subs = sub if isinstance(sub, tuple) else (sub,)
             for r, v in zip(op.results, subs):
@@ -123,10 +143,15 @@ def _eval_opdef_local(module: Module, name: str, ext_args, ext_shape, start):
     return out
 
 
-def shardmap_opdef(cm, name: str, gmesh: GridMesh) -> Callable:
+def shardmap_opdef(
+    cm, name: str, gmesh: GridMesh, backend: str = "jnp"
+) -> Callable:
     """Explicit-communication sharded matvec for opdef @name.
 
     cm: a CompiledModule over a *verified* module (halo annotations present).
+    backend="pallas" runs each shard's compute through the slab-blocked
+    Pallas window kernel (TPU multi-chip production path); "jnp" (default)
+    uses the whole-window XLA lowering.
     Returns a jittable global function over mesh-sharded arrays.
     """
     fn = cm.module.lookup(name)
@@ -160,7 +185,9 @@ def shardmap_opdef(cm, name: str, gmesh: GridMesh) -> Callable:
                     - jnp.int32(halo[d][0])
                     + jnp.int32(tt.bounds.lb[d])
                 )
-            out = _eval_opdef_local(cm.module, name, exts, ext_shape, start)
+            out = _eval_opdef_local(
+                cm.module, name, exts, ext_shape, start, backend
+            )
 
             def carve(y):
                 sl = tuple(

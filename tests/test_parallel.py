@@ -218,3 +218,32 @@ class TestShardMapOpdef:
 
         x = np.asarray(solve(gm.shard(jnp.asarray(b))))
         np.testing.assert_allclose(lap2d_np(x), b, atol=1e-8)
+
+    def test_shardmap_opdef_pallas_window(self):
+        # the Pallas-local multi-chip path (interpret mode): each shard runs
+        # the slab-blocked window kernel with traced global coordinates
+        from neptune_tpu.config import config
+        from neptune_tpu.parallel import shardmap_opdef
+
+        config.pallas_interpret = True
+        try:
+            ntp.reset_context()
+
+            @ntp.linear_op_def(
+                bounds=([0, 0], [128, 256]), interior=([1, 1], [127, 255]),
+                dtype="float32", name="lap_p",
+            )
+            def lap_p(u):
+                return 4.0 * u[0, 0] - u[-1, 0] - u[1, 0] - u[0, -1] - u[0, 1]
+
+            gm = GridMesh((4, 2), ("x", "y"))
+            cm = ntp.get_context().compiled()
+            f = jax.jit(shardmap_opdef(cm, "lap_p", gm, backend="pallas"))
+            x = np.random.default_rng(11).standard_normal((128, 256)).astype(
+                np.float32
+            )
+            out = np.asarray(f(gm.shard(jnp.asarray(x))))
+            ref = np.asarray(cm.opdef("lap_p")(x))
+            np.testing.assert_allclose(out, ref, atol=1e-5)
+        finally:
+            config.pallas_interpret = False
