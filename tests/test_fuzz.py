@@ -169,3 +169,51 @@ def test_jnp_vs_pallas_random_programs(case):
     np.testing.assert_allclose(
         y_jnp, y_pal, atol=1e-5, err_msg=f"case {case}: jnp vs pallas diverged"
     )
+
+
+@pytest.mark.parametrize("case", range(6))
+def test_periodic_jnp_vs_native(case):
+    """Periodic random programs: wrap semantics must agree across backends."""
+    if not HAVE_GXX:
+        pytest.skip("needs g++")
+    rng = np.random.default_rng(3000 + case)
+    rank = int(rng.integers(1, 3))
+    shape = tuple(int(rng.integers(8, 16)) for _ in range(rank))
+    bounds = Bounds.of((0,) * rank, shape)
+    tt = TempType("float64", bounds)
+    offsets = [
+        tuple(int(rng.integers(-2, 3)) for _ in range(rank)) for _ in range(3)
+    ]
+
+    b = NeptuneBuilder()
+    fn = b.make_opdef("p", "nonlinear_opdef", [tt], [tt])
+    b.push_block(fn.body)
+    op, body = b.start_apply([fn.body.args[0]], bounds, periodic=True)
+    b.push_block(body)
+    acc = None
+    for off in offsets:
+        t = b.mul(
+            b.access(body.args[rank], off),
+            b.constant(float(rng.uniform(-1, 1)), F64),
+        )
+        acc = t if acc is None else b.add(acc, t)
+    b.yield_(acc)
+    b.pop_block()
+    b.return_([b.finish_apply(op)])
+    b.pop_block()
+
+    entry = b.make_function("main", "func", [tt], [tt])
+    b.push_block(entry.body)
+    out = b.apply_nonlinear("p", [entry.body.args[0]])
+    b.return_([out])
+    b.pop_block()
+
+    x = rng.standard_normal(shape)
+    y_jnp = np.asarray(compile_ir(b.module, backend="jnp").opdef("p")(x))
+
+    from neptune_tpu.runtime import compile_native
+
+    y_nat = np.asarray(compile_native(b.module).function("main")(x))
+    np.testing.assert_allclose(
+        y_jnp, y_nat, atol=1e-10, err_msg=f"periodic case {case} diverged"
+    )
