@@ -56,6 +56,15 @@ def main():
     print(f"CG iters={int(info.iters)} resnorm={float(info.resnorm):.3e} "
           f"converged={bool(info.converged)}")
 
+    # the explicit-communication mode: per-shard execution with ppermute
+    # ghost exchange at the operator's verified stencil reach
+    from neptune_tpu.parallel import shardmap_opdef
+
+    mv_explicit = jax.jit(shardmap_opdef(cm, "poisson", gm))
+    y1 = np.asarray(mv_explicit(gm.shard(jnp.asarray(x))))
+    y2 = np.asarray(matvec(jnp.asarray(x)))
+    print(f"explicit shard_map matvec max dev: {np.abs(y1 - y2).max():.2e}")
+
     # residual check against the (replicated) numpy oracle
     r = b.copy()
     r[1:-1, 1:-1] -= (
