@@ -34,11 +34,12 @@ def _arg_spec(a):
         return a.node.ttype
     if hasattr(a, "shape") and hasattr(a, "dtype"):
         arr = np.asarray(a)
-        return TempType(
-            arr.dtype.name, Bounds.of((0,) * arr.ndim, arr.shape)
-        )
+        # canonicalize f64 -> f32 when x64 is disabled: jax would truncate
+        # the data anyway, so trace the IR at the dtype that will execute
+        dt = jax.dtypes.canonicalize_dtype(arr.dtype).name
+        return TempType(dt, Bounds.of((0,) * arr.ndim, arr.shape))
     if isinstance(a, float):
-        return ScalarType("float64")
+        return ScalarType(jax.dtypes.canonicalize_dtype(np.float64).name)
     if isinstance(a, int):
         return ScalarType("int32")
     raise TypeError(f"cannot trace argument of type {type(a)}")
@@ -93,7 +94,7 @@ class JITClassWrapper:
         # Phase 1 (reference traces this; we run it eagerly — state members
         # like assemble_matrix handles come out live and lazy)
         self._instance = cls(*args, **kwargs)
-        self._compiled_methods: dict[str, Callable] = {}
+        self._compiled_methods: dict[tuple, Callable] = {}
 
     def __getattr__(self, name: str):
         if name.startswith("_"):
@@ -103,11 +104,20 @@ class JITClassWrapper:
             return inst_attr
 
         def method_proxy(*args):
-            key = name
+            # cache per (method, arg signature): a second call with different
+            # shapes/dtypes re-traces into a fresh IR function instead of
+            # failing the first trace's shape check
+            sig = tuple(
+                (np.asarray(a).shape, str(np.asarray(a).dtype))
+                if hasattr(a, "shape") or isinstance(a, (int, float))
+                else type(a).__name__
+                for a in args
+            )
+            key = (name, sig)
             if key not in self._compiled_methods:
                 fn_name = f"{self._cls.__name__}_{name}"
                 if fn_name in self._ctx.module.functions:
-                    fn_name = f"{fn_name}_{id(self):x}"
+                    fn_name = f"{fn_name}_{len(self._compiled_methods)}_{id(self):x}"
                 trace_method(self._ctx, fn_name, inst_attr, args)
                 compiled = self._ctx.compiled().function(fn_name)
                 self._compiled_methods[key] = jax.jit(compiled)

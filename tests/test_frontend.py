@@ -346,3 +346,22 @@ class TestBoundaryPredicates:
         expected = np.ones(8)
         expected[0] = expected[-1] = 0.0
         np.testing.assert_array_equal(y, expected)
+
+
+class TestJitClassShapes:
+    def test_different_shapes_retrace(self):
+        # calling a jit_class method with a new shape must re-trace, not
+        # crash against the first trace's declared types
+        @ntp.jit_class
+        class S:
+            def double(self, u):
+                return ntp.apply(inputs=[u], bounds=([0], [u.node.ttype.bounds.ub[0]]))(
+                    lambda t: t[0] * 2.0
+                )
+
+        s = S()
+        a = np.asarray(s.double(np.ones(8)))
+        b = np.asarray(s.double(np.ones(16)))
+        assert a.shape == (8,) and b.shape == (16,)
+        np.testing.assert_allclose(a, 2.0)
+        np.testing.assert_allclose(b, 2.0)
