@@ -159,6 +159,20 @@ def full_suite():
         "gcell_per_s": n * n / dt / 1e9,
     }
 
+    # config 1b: temporal-blocking fused sweeps at an HBM-resident size —
+    # K sweeps per HBM pass beats the single-sweep bandwidth roofline
+    n4, K = 4096, 16
+    make_jacobi_2d(n4)
+    x4 = jnp.asarray(rng.standard_normal((n4, n4)).astype(np.float32))
+    fused16 = ntp.get_context().compiled().sweeps("jacobi", K)
+    dt = timed_sweep(fused16, x4, 4, 12)  # dt per 16-sweep fused call
+    results["jacobi_2d_4096_temporal_k16"] = {
+        "us_per_sweep": dt / K * 1e6,
+        "gcell_per_s": n4 * n4 * K / dt / 1e9,
+        "frac_of_single_sweep_roofline": (n4 * n4 * K / dt) / ROOFLINE_CELLS,
+        "kernel": "temporal-blocking multisweep (K sweeps per HBM pass)",
+    }
+
     # config 4: matrix-free CG Poisson + Jacobi preconditioner
     n = 512
     ntp.reset_context()

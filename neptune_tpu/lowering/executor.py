@@ -92,6 +92,63 @@ class CompiledModule:
     def jit_function(self, name: str, **jit_kwargs) -> Callable:
         return jax.jit(self.function(name), **jit_kwargs)
 
+    def sweeps(self, name: str, k: int) -> Callable:
+        """x -> opdef @name applied k times (fixed-point / smoother sweeps).
+
+        Where the reference's runtime replays the operator kernel k times
+        from the KSP Richardson loop (one launch + full HBM round trip per
+        sweep), eligible operators here lower to ONE temporal-blocking
+        Pallas kernel (`pallas_multisweep`): each slab is fetched once with
+        a k*h-deep halo window and relaxed k times VMEM-resident, beating
+        the single-sweep bandwidth roofline by ~k/(1 + k*h/slab). Ineligible
+        operators (periodic, f64, rank != 2, composite bodies) fall back to
+        a `lax.fori_loop` of single applies.
+        """
+        from . import pallas_backend, pallas_multisweep
+
+        fn = self.module.lookup(name)
+        assert fn.is_opdef, f"@{name} is not an opdef"
+        one = self.opdef(name)
+        k_inner = None
+        if self.backend in ("auto", "pallas") and (
+            pallas_backend._on_tpu() or config.pallas_interpret
+        ):
+            k_inner = pallas_multisweep.best_depth(self.module, name, k)
+        if k_inner is not None:
+            n_scalars = len(fn.ftype.inputs) - 1
+            n_full, rem = divmod(k, k_inner)
+
+            def run_fused(x, *scalars):
+                assert len(scalars) == n_scalars
+
+                def fused(u):
+                    return pallas_multisweep.execute_sweeps(
+                        self.module,
+                        name,
+                        u,
+                        scalars,
+                        k_inner,
+                        interpret=config.pallas_interpret,
+                    )
+
+                u = jnp.asarray(x)
+                if n_full == 1:
+                    u = fused(u)
+                else:
+                    u = jax.lax.fori_loop(0, n_full, lambda _, v: fused(v), u)
+                for _ in range(rem):  # leftover sweeps (rem < k_inner)
+                    u = one(u, *scalars)
+                return u
+
+            return run_fused
+
+        def run_loop(x, *scalars):
+            return jax.lax.fori_loop(
+                0, k, lambda _, u: one(u, *scalars), jnp.asarray(x)
+            )
+
+        return run_loop
+
     def low_precision_opdef(self, name: str) -> Callable:
         """float32 twin of an opdef (for mixed-precision refinement)."""
         if self._lo_cm is None:

@@ -1,0 +1,350 @@
+"""Temporal-blocking Pallas kernel: K fused stencil sweeps per HBM pass.
+
+A single sweep of a star stencil at HBM-resident sizes is bandwidth-bound:
+the roofline is one read + one write per cell per sweep. Fixed-point
+iterations (Jacobi relaxation, Richardson smoothing, explicit time stepping
+x <- A x) apply the SAME operator K times, and the reference runs them as K
+separate kernel launches (`runtime/Runtime.cpp` KSP Richardson loop), paying
+K full HBM round trips. This kernel restructures the loop so each grid slab
+is fetched ONCE into VMEM with a K*h-deep halo window and relaxed K times
+on-chip before the result is written back:
+
+    HBM traffic:  (slab + 2*Hp) read + slab written   per K sweeps
+    vs.           K * 2 * slab                        for K separate sweeps
+
+i.e. an ~2K/(2+2Hp/slab)x effective-bandwidth multiplier, which moves the
+kernel past the single-sweep roofline entirely (the remaining bound is VPU
+compute at VMEM-resident speed).
+
+Mechanics (built on the rolling-window DMA machinery of
+`pallas_backend._execute_dma`, validated on v5e):
+  * grid walks slabs along dim 0; each step DMAs a window of
+    `win = slab + 2*Hp` rows (Hp = K*h0 padded to the 8-row sublane
+    alignment) into a double-buffered VMEM scratch, overlapping the next
+    window's fetch with this window's K sweeps;
+  * window starts clamp at the domain edges; the clamp shift is repaired by
+    a dynamic `pltpu.roll` (32-bit only), after which window row r holds
+    global row `i*slab - Hp + r`; wrapped rows represent out-of-domain rows
+    and hold garbage — see the creep analysis below;
+  * each of the K (Python-unrolled) sweeps evaluates the operator's scalar
+    DAG over the FULL window via vector rolls, then applies the
+    copy-through boundary mask (global-coordinate iota vs the apply bounds)
+    with the previous sweep's value as the seed. By induction the seed at
+    in-domain boundary rows is the original input — exactly K-fold
+    copy-through apply semantics;
+  * validity creep: a dim-0 roll read wraps at the window edge, so after
+    sweep t only window rows [t*h0, win - t*h0) are trustworthy. The
+    extracted center [Hp, Hp + slab) needs K*h0 <= Hp, which the window
+    construction guarantees. Dim 1 stays whole in VMEM, so there is no
+    dim-1 creep (edge wrap lands in boundary-masked columns).
+
+Scope: rank-2, float32, single-input/single-output, non-periodic applies
+(periodic wrap needs a modular window; it falls back to K separate
+multi-copy-kernel sweeps, which do handle torus domains).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ir.core import Module, Operation
+from ..ir.types import Bounds, StencilShape, TempType
+from . import jnp_backend
+
+# this kernel holds 2 window scratches + ~3 live window values + the
+# double-buffered out block; budget sized so a 4096-wide f32 grid gets a
+# 64-row slab (measured fit under the 16MB scoped-vmem limit on v5e)
+_VMEM_BUDGET = 9 * 1024 * 1024
+_MAX_HP = 24  # cap the fused depth: K * h0 <= 24 halo rows
+
+
+def find_sweep_apply(module: Module, name: str) -> Optional[Operation]:
+    """The single apply op of a unary opdef eligible for temporal blocking.
+
+    Returns None (caller falls back to K separate sweeps) unless the opdef
+    body is exactly one self-shaped apply: one temp input, one result,
+    float32, rank 2, non-periodic, with a nonzero dim-0 halo.
+    """
+    fn = module.lookup(name)
+    if not getattr(fn, "is_opdef", False):
+        return None
+    # one temp input (the sweep state) + optional trailing scalar params
+    if len(fn.ftype.results) != 1 or not fn.ftype.inputs:
+        return None
+    if not isinstance(fn.ftype.inputs[0], TempType) or any(
+        isinstance(t, TempType) for t in fn.ftype.inputs[1:]
+    ):
+        return None
+    apply_op = None
+    for op in fn.body.ops:
+        if op.name == "neptune.apply":
+            if apply_op is not None:
+                return None  # multi-stage opdef: composed reach not handled
+            apply_op = op
+        elif op.name not in ("neptune.return", "arith.constant"):
+            return None
+    if apply_op is None:
+        return None
+    out_type: TempType = apply_op.results[0].type
+    if out_type.element != "float32":  # rolls need 32-bit; f64 is jnp-only
+        return None
+    if out_type.bounds.rank != 2:
+        return None
+    if apply_op.attrs.get("periodic"):
+        return None
+    n_in = apply_op.attrs.get("num_inputs", len(apply_op.operands))
+    if n_in != 1 or len(apply_op.results) != 1:
+        return None
+    if apply_op.operands[0].uid != fn.body.args[0].uid:
+        return None
+    # scalar operands must be exactly the opdef's trailing args in order
+    # (the kernel binds user-supplied scalars to SMEM slots positionally)
+    if [o.uid for o in apply_op.operands[1:]] != [
+        a.uid for a in fn.body.args[1:]
+    ]:
+        return None
+    if apply_op.operands[0].type.bounds != out_type.bounds:
+        return None
+    sshape: StencilShape = apply_op.attrs.get("shape") or StencilShape(())
+    if not sshape.offsets:
+        return None
+    h0, h1 = (max(h) for h in sshape.halo())
+    if h0 < 1 or h1 >= out_type.bounds.shape[1]:
+        return None
+    return apply_op
+
+
+def _pick_slab(extent0: int, row_bytes: int, hp: int) -> Optional[int]:
+    """Largest 8-aligned divisor of extent0 fitting the window working set:
+    2 scratch windows + ~3 live window values + 2 out blocks."""
+    s = (_VMEM_BUDGET // max(row_bytes, 1) - 10 * hp) // 7
+    # the window (slab + 2*hp rows) must fit inside the array
+    s = min((s // 8) * 8, extent0 - 2 * hp)
+    for cand in range(s, 7, -8):
+        if extent0 % cand == 0:
+            return cand
+    return None
+
+
+def sweeps_plan(module: Module, name: str, k: int) -> Optional[dict]:
+    """Geometry for a K-sweep fused kernel, or None if ineligible."""
+    op = find_sweep_apply(module, name)
+    if op is None or k < 2:
+        return None
+    out_type: TempType = op.results[0].type
+    shape = out_type.bounds.shape
+    sshape: StencilShape = op.attrs["shape"]
+    h0 = max(sshape.halo()[0])
+    hp = ((k * h0 + 7) // 8) * 8
+    if hp > _MAX_HP:
+        return None
+    dtype = jnp.dtype(out_type.element)
+    row_bytes = shape[1] * dtype.itemsize
+    slab = _pick_slab(shape[0], row_bytes, hp)
+    if slab is None:
+        return None
+    win = slab + 2 * hp
+    if win > shape[0] or shape[1] < 128 or math.prod(shape) < 64 * 128:
+        return None
+    return {"op": op, "slab": slab, "hp": hp, "win": win, "h0": h0}
+
+
+def best_depth(module: Module, name: str, k: int) -> Optional[int]:
+    """The fused depth to run per kernel call for a total of k sweeps.
+
+    Deep fusion forces small slabs (the window working set grows with
+    K*h0), and measured on v5e the halo-recompute overhead then eats the
+    bandwidth win (K=8/slab=64: 2.1x single-sweep; K=16/slab=32: 1.2x). So
+    the depth is capped where slab >= 4*hp (window overhead <= 1.5x), and
+    the executor chains ceil(k/depth) kernel calls. Depths dividing k are
+    preferred (no leftover single sweeps).
+    """
+    op = find_sweep_apply(module, name)
+    if op is None or k < 2:
+        return None
+    h0 = max(op.attrs["shape"].halo()[0])
+    cap = min(k, _MAX_HP // max(h0, 1))
+    divisors = [d for d in range(cap, 1, -1) if k % d == 0]
+    rest = [d for d in range(cap, 1, -1) if k % d != 0]
+    for d in divisors + rest:
+        plan = sweeps_plan(module, name, d)
+        if plan is not None and plan["slab"] >= 4 * plan["hp"]:
+            return d
+    return None
+
+
+def execute_sweeps(
+    module: Module,
+    name: str,
+    x,
+    scalars: Sequence,
+    k: int,
+    *,
+    interpret: bool = False,
+):
+    """Run K fused sweeps of opdef @name over x in one pallas_call.
+
+    Caller must have checked `sweeps_plan` is not None.
+    """
+    plan = sweeps_plan(module, name, k)
+    assert plan is not None, "execute_sweeps on an ineligible opdef"
+    op: Operation = plan["op"]
+    slab, hp, win = plan["slab"], plan["hp"], plan["win"]
+
+    out_type: TempType = op.results[0].type
+    bounds: Bounds = op.attrs["bounds"]
+    outer = out_type.bounds
+    shape = outer.shape
+    dtype = jnp.dtype(out_type.element)
+    n_slabs = shape[0] // slab
+    body = op.region(0)
+    full_domain = bounds == outer
+    n_scalars = len(scalars)
+
+    def kernel(*refs):
+        hbm_ref = refs[0]
+        scalar_refs = refs[1 : 1 + n_scalars]
+        out_ref = refs[1 + n_scalars]
+        scratch = refs[2 + n_scalars]  # (2, win, N1) VMEM
+        sems = refs[3 + n_scalars]  # (2,) DMA semaphores
+
+        i = pl.program_id(0)
+
+        def window_start(step):
+            ideal = step * slab - hp
+            w = jnp.clip(
+                ideal, jnp.int32(0), jnp.int32(shape[0] - win)
+            ).astype(jnp.int32)
+            # slab, hp and shape[0]-win are all 8-aligned, so the clamped
+            # start is too; carry the proof Mosaic needs for the HBM slice
+            return pl.multiple_of(w, 8)
+
+        def start_fetch(step, slot):
+            pltpu.make_async_copy(
+                hbm_ref.at[pl.ds(window_start(step), win)],
+                scratch.at[slot],
+                sems.at[slot],
+            ).start()
+
+        @pl.when(i == 0)
+        def _():
+            start_fetch(jnp.int32(0), 0)
+
+        @pl.when(i + 1 < n_slabs)
+        def _():
+            start_fetch(i + 1, (i + 1) % 2)
+
+        pltpu.make_async_copy(
+            hbm_ref.at[pl.ds(jnp.int32(0), win)],
+            scratch.at[i % 2],
+            sems.at[i % 2],
+        ).wait()
+
+        # repair the edge clamp: after the roll, window row r holds global
+        # row i*slab - hp + r (wrapped rows are out-of-domain garbage)
+        w = window_start(i)
+        delta = (i * slab - jnp.int32(hp)) - w
+        v = scratch[i % 2]
+        v = pltpu.roll(v, ((-delta) % win).astype(jnp.int32), axis=0)
+
+        row_g = (
+            jax.lax.broadcasted_iota(jnp.int32, (win, shape[1]), 0)
+            + i * slab
+            - jnp.int32(hp)
+            + outer.lb[0]
+        )
+        col_g = (
+            jax.lax.broadcasted_iota(jnp.int32, (win, shape[1]), 1)
+            + outer.lb[1]
+        )
+        if full_domain:
+            mask = None
+        else:
+            mask = (
+                (row_g >= bounds.lb[0])
+                & (row_g < bounds.ub[0])
+                & (col_g >= bounds.lb[1])
+                & (col_g < bounds.ub[1])
+            )
+
+        scalar_vals = [r[0, 0] for r in scalar_refs]
+
+        for _sweep in range(k):
+            src = v
+
+            def access_fn(_k, offset, src=src):
+                s = src
+                if offset[0]:
+                    s = pltpu.roll(s, jnp.int32((-offset[0]) % win), axis=0)
+                if offset[1]:
+                    s = pltpu.roll(
+                        s, jnp.int32((-offset[1]) % shape[1]), axis=1
+                    )
+                return s
+
+            def index_fn(d):
+                return row_g if d == 0 else col_g
+
+            y = jnp_backend.eval_scalar_dag(
+                body, 2, 1, access_fn, index_fn, scalar_vals
+            )[0]
+            y = jnp.broadcast_to(jnp.asarray(y, dtype), (win, shape[1]))
+            v = y if mask is None else jnp.where(mask, y, src)
+
+        out_ref[...] = jax.lax.slice_in_dim(v, hp, hp + slab, axis=0)
+
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    for _ in range(n_scalars):
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1),
+                lambda i: (jnp.int32(0), jnp.int32(0)),
+                memory_space=pltpu.SMEM,
+            )
+        )
+    out_spec = pl.BlockSpec(
+        (slab, shape[1]),
+        lambda i: (jnp.asarray(i, jnp.int32), jnp.int32(0)),
+        memory_space=pltpu.VMEM,
+    )
+    scratch_shapes = [
+        pltpu.VMEM((2, win, shape[1]), dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+    n_offsets = len(set(op.attrs["shape"].offsets)) or 1
+    cost = pl.CostEstimate(
+        flops=2 * n_offsets * k * math.prod(shape),
+        bytes_accessed=2 * math.prod(shape) * dtype.itemsize,
+        transcendentals=0,
+    )
+
+    call_inputs = [jnp.asarray(x, dtype)]
+    call_inputs.extend(jnp.asarray(s).reshape(1, 1) for s in scalars)
+    kwargs = {}
+    est_bytes = shape[1] * dtype.itemsize * (7 * slab + 10 * hp)
+    if not interpret and est_bytes > 14 * 1024 * 1024:
+        # only when the working set would overflow Mosaic's default 16MB
+        # scoped-vmem stack (v5e has 128MB per core); measured on v5e the
+        # small-slab default-limit configuration is faster, so this path is
+        # a safety valve, not the default
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_slabs,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct(shape, dtype),
+        scratch_shapes=scratch_shapes,
+        cost_estimate=cost,
+        interpret=interpret,
+        **kwargs,
+    )(*call_inputs)

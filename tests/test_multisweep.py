@@ -1,0 +1,160 @@
+"""Temporal-blocking multi-sweep kernel vs the K-fold single-apply oracle.
+
+The fused kernel restructures K sweeps into one HBM pass; these tests pin
+that the restructuring is bit-faithful to K separate applies (same rolls,
+same copy-through masks) across halo widths, domain shapes, edge slabs,
+scalar parameters, and the fallback paths.
+"""
+
+import numpy as np
+import pytest
+
+from neptune_tpu.config import config
+from neptune_tpu.ir import Bounds, F32, NeptuneBuilder, TempType
+from neptune_tpu.lowering import pallas_multisweep
+from neptune_tpu.passes import compile_ir
+
+
+def jacobi_module(n0, n1, offsets_coefs, *, dtype="float32", periodic=False,
+                  n_scalars=0):
+    """opdef y = sum_c c * x[off] over the halo-shrunk interior."""
+    b = NeptuneBuilder()
+    bounds = Bounds.of((0, 0), (n0, n1))
+    tt = TempType(dtype, bounds)
+    stypes = [F32] * n_scalars
+    fn = b.make_opdef("op", "nonlinear_opdef", [tt] + stypes, [tt])
+    b.push_block(fn.body)
+    h = [max(abs(o[d]) for o, _ in offsets_coefs) for d in (0, 1)]
+    interior = bounds if periodic else Bounds.of(
+        (h[0], h[1]), (n0 - h[0], n1 - h[1])
+    )
+    op, body = b.start_apply(
+        [fn.body.args[0]],
+        interior,
+        scalar_params=list(fn.body.args[1:]),
+        periodic=periodic,
+    )
+    b.push_block(body)
+    from neptune_tpu.ir import F64
+
+    cdtype = F64 if dtype == "float64" else F32
+    acc = None
+    for off, c in offsets_coefs:
+        t = b.mul(b.access(body.args[2], off), b.constant(c, cdtype))
+        acc = t if acc is None else b.add(acc, t)
+    if n_scalars:
+        # scale by the trailing scalar params so they reach the DAG
+        for sa in body.args[3:]:
+            acc = b.mul(acc, sa)
+    b.yield_(acc)
+    b.pop_block()
+    b.return_([b.finish_apply(op)])
+    b.pop_block()
+    return b.module
+
+
+FIVE_POINT = [((0, 0), 0.6), ((-1, 0), 0.1), ((1, 0), 0.1),
+              ((0, -1), 0.1), ((0, 1), 0.1)]
+WIDE = [((0, 0), 0.4), ((-2, 0), 0.15), ((2, 0), 0.15),
+        ((0, -2), 0.15), ((0, 2), 0.15)]
+
+
+def run_both(module, shape, k, n_scalars=0):
+    cm = compile_ir(module, backend="auto")
+    rng = np.random.default_rng(42)
+    x = rng.standard_normal(shape).astype(np.float32)
+    scalars = [np.float32(0.9)] * n_scalars
+
+    one = cm.opdef("op")
+    y_ref = x
+    for _ in range(k):
+        y_ref = np.asarray(one(y_ref, *scalars), np.float32)
+
+    config.pallas_interpret = True
+    try:
+        assert pallas_multisweep.sweeps_plan(cm.module, "op", k) is not None
+        y_fused = np.asarray(cm.sweeps("op", k)(x, *scalars))
+    finally:
+        config.pallas_interpret = False
+    np.testing.assert_allclose(y_fused, y_ref, atol=1e-5)
+
+
+class TestFusedSweeps:
+    @pytest.mark.parametrize("k", [2, 4, 8])
+    def test_five_point(self, k):
+        run_both(jacobi_module(128, 256, FIVE_POINT), (128, 256), k)
+
+    def test_wide_halo(self):
+        # h0 = 2, K = 4 -> 8 halo rows
+        run_both(jacobi_module(128, 256, WIDE), (128, 256), 4)
+
+    def test_single_slab_grid(self):
+        # whole grid is one slab: both window clamps active at once
+        run_both(jacobi_module(96, 128, FIVE_POINT), (96, 128), 3)
+
+    def test_asymmetric_offsets(self):
+        offs = [((0, 0), 0.5), ((-2, 1), 0.2), ((1, -1), 0.3)]
+        run_both(jacobi_module(128, 128, offs), (128, 128), 4)
+
+    def test_scalar_params(self):
+        run_both(
+            jacobi_module(128, 128, FIVE_POINT, n_scalars=1),
+            (128, 128),
+            3,
+            n_scalars=1,
+        )
+
+    def test_fallback_periodic_matches(self):
+        # periodic is ineligible: sweeps() must fall back to the loop and
+        # still match K-fold application
+        m = jacobi_module(64, 128, FIVE_POINT, periodic=True)
+        cm = compile_ir(m, backend="auto")
+        assert pallas_multisweep.sweeps_plan(cm.module, "op", 4) is None
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal((64, 128)).astype(np.float32)
+        one = cm.opdef("op")
+        y_ref = x
+        for _ in range(4):
+            y_ref = np.asarray(one(y_ref), np.float32)
+        y = np.asarray(cm.sweeps("op", 4)(x))
+        np.testing.assert_allclose(y, y_ref, atol=1e-5)
+
+    def test_fallback_f64(self):
+        m = jacobi_module(64, 128, FIVE_POINT, dtype="float64")
+        cm = compile_ir(m, backend="auto")
+        assert pallas_multisweep.sweeps_plan(cm.module, "op", 4) is None
+        rng = np.random.default_rng(8)
+        x = rng.standard_normal((64, 128))
+        one = cm.opdef("op")
+        y_ref = x
+        for _ in range(4):
+            y_ref = np.asarray(one(y_ref))
+        np.testing.assert_allclose(np.asarray(cm.sweeps("op", 4)(x)), y_ref,
+                                   atol=1e-12)
+
+    def test_depth_cap(self):
+        # K * h0 beyond the halo cap is ineligible (falls back), k=1 too
+        m = jacobi_module(128, 256, FIVE_POINT)
+        cm = compile_ir(m, backend="auto")
+        assert pallas_multisweep.sweeps_plan(cm.module, "op", 1) is None
+        assert pallas_multisweep.sweeps_plan(cm.module, "op", 25) is None
+
+    @pytest.mark.parametrize("k", [11, 16])
+    def test_depth_decomposition(self, k):
+        # k beyond the per-call cap runs as chained fused calls (+ leftover
+        # single sweeps when no depth divides k)
+        m = jacobi_module(128, 256, FIVE_POINT)
+        cm = compile_ir(m, backend="auto")
+        assert pallas_multisweep.best_depth(cm.module, "op", k) is not None
+        rng = np.random.default_rng(11)
+        x = rng.standard_normal((128, 256)).astype(np.float32)
+        one = cm.opdef("op")
+        y_ref = x
+        for _ in range(k):
+            y_ref = np.asarray(one(y_ref), np.float32)
+        config.pallas_interpret = True
+        try:
+            y = np.asarray(cm.sweeps("op", k)(x))
+        finally:
+            config.pallas_interpret = False
+        np.testing.assert_allclose(y, y_ref, atol=1e-5)
