@@ -45,6 +45,7 @@ from .frontend import (
     reduce,
     reset_context,
     solve_linear,
+    sweeps,
     solve_nonlinear,
     stencil,
     temp,
@@ -82,6 +83,7 @@ __all__ = [
     "reduce",
     "reset_context",
     "solve_linear",
+    "sweeps",
     "solve_nonlinear",
     "stencil",
     "temp",

@@ -359,6 +359,29 @@ def assemble_matrix(op):
     )
 
 
+def sweeps(op, k: int) -> Callable:
+    """fn(x, *scalars) -> operator @op applied k times (relaxation sweeps,
+    explicit stepping x <- A x).
+
+    The reference runs repeated operator application as k separate kernel
+    launches (one full HBM round trip each); here eligible operators
+    (rank-2 f32 unary non-periodic) lower to the temporal-blocking Pallas
+    kernel (`lowering.pallas_multisweep`) — K sweeps per HBM pass, past the
+    single-sweep bandwidth roofline. Everything else runs a fori_loop of
+    single applies with identical semantics. The returned callable is
+    jittable.
+    """
+    sym = _sym_name(op)
+    ctx = get_context()
+    if ctx.tracing:
+        raise RuntimeError(
+            "sweeps() builds an executable callable; call it outside the "
+            "traced method and close over the result, or loop the operator "
+            "directly inside the trace"
+        )
+    return ctx.compiled().sweeps(sym, k)
+
+
 def solve_linear(
     matrix,
     rhs,

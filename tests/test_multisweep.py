@@ -158,3 +158,28 @@ class TestFusedSweeps:
         finally:
             config.pallas_interpret = False
         np.testing.assert_allclose(y, y_ref, atol=1e-5)
+
+
+def test_dsl_sweeps_surface():
+    # the frontend-level entry point: ntp.sweeps(decorated_op, k)
+    import neptune_tpu as ntp
+
+    ntp.reset_context()
+
+    @ntp.linear_op_def(
+        bounds=([0, 0], [128, 256]), interior=([1, 1], [127, 255]),
+        dtype="float32",
+    )
+    def jac(u):
+        return 0.25 * (u[-1, 0] + u[1, 0] + u[0, -1] + u[0, 1])
+
+    x = np.random.default_rng(0).standard_normal((128, 256)).astype(np.float32)
+    r = x
+    for _ in range(4):
+        r = np.asarray(jac(r), np.float32)
+    config.pallas_interpret = True
+    try:
+        y = np.asarray(ntp.sweeps(jac, 4)(x))
+    finally:
+        config.pallas_interpret = False
+    np.testing.assert_allclose(y, r, atol=1e-5)
