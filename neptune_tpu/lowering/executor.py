@@ -108,6 +108,13 @@ class CompiledModule:
 
         fn = self.module.lookup(name)
         assert fn.is_opdef, f"@{name} is not an opdef"
+        n_temps = sum(1 for t in fn.ftype.inputs if isinstance(t, TempType))
+        if n_temps != 1 or len(fn.ftype.results) != 1:
+            raise ValueError(
+                f"sweeps(@{name}): repeated application needs a unary "
+                f"operator (one temp in, one temp out); got {n_temps} "
+                f"inputs, {len(fn.ftype.results)} results"
+            )
         one = self.opdef(name)
         k_inner = None
         if self.backend in ("auto", "pallas") and (

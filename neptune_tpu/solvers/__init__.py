@@ -4,6 +4,7 @@
 from .assemble import MatrixHandle
 from .krylov import SolveInfo, bicgstab, cg, direct, gmres, solve
 from .newton import NewtonInfo, newton_krylov, picard
+from .multigrid import build_levels, mg_preconditioner, multigrid_solve, v_cycle
 from .precond import extract_diagonal, jacobi, make_preconditioner, ssor_dense
 from .diff import differentiable_root, differentiable_solve
 from .time import simulate
@@ -19,6 +20,10 @@ __all__ = [
     "NewtonInfo",
     "newton_krylov",
     "picard",
+    "build_levels",
+    "mg_preconditioner",
+    "multigrid_solve",
+    "v_cycle",
     "extract_diagonal",
     "jacobi",
     "make_preconditioner",
