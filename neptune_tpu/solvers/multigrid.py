@@ -72,6 +72,11 @@ def build_levels(
     levels = []
     shape = like.shape
     for i, op in enumerate(ops):
+        if i + 1 < len(ops) and any(s % 2 for s in shape):
+            raise ValueError(
+                f"multigrid level {i} grid {shape} is not 2:1-coarsenable "
+                "(every extent must be even above the coarsest level)"
+            )
         mv = _matvec_of(op)
         halo = _halo_of(op)
 

@@ -104,3 +104,51 @@ class TestMultigrid:
         b = rng.standard_normal((64, 64)).astype(np.float32)
         x, info = multigrid_solve(ops, b, tol=1e-4, maxiter=40)
         assert bool(info.converged)
+
+
+def test_multigrid_3d():
+    # transfers are rank-agnostic: 7-point Poisson on a 32^3 -> 16^3 -> 8^3
+    # hierarchy must converge with the same machinery
+    ntp.reset_context()
+
+    def make(n):
+        inv_h2 = float((n - 1) * (n - 1))
+
+        @ntp.linear_op_def(
+            bounds=([0, 0, 0], [n, n, n]),
+            interior=([1, 1, 1], [n - 1, n - 1, n - 1]),
+            dtype="float64",
+            name=f"poisson3d{n}",
+        )
+        def op(u):
+            return (
+                6.0 * u[0, 0, 0]
+                - u[-1, 0, 0] - u[1, 0, 0]
+                - u[0, -1, 0] - u[0, 1, 0]
+                - u[0, 0, -1] - u[0, 0, 1]
+            ) * inv_h2
+
+        return op
+
+    ops = [ntp.assemble_matrix(make(n)) for n in (32, 16, 8)]
+    rng = np.random.default_rng(5)
+    b = rng.standard_normal((32, 32, 32))
+    x, info = multigrid_solve(ops, b, tol=1e-8, maxiter=40)
+    assert bool(info.converged), f"rn={float(info.resnorm):.2e}"
+    r = b - np.asarray(ops[0].matvec(jnp.asarray(x)))
+    assert np.linalg.norm(r) <= 1e-8 * np.linalg.norm(b) * 1.01
+
+
+def test_odd_shape_rejected():
+    ntp.reset_context()
+
+    @ntp.linear_op_def(
+        bounds=([0, 0], [33, 33]), interior=([1, 1], [32, 32]),
+        dtype="float64", name="odd",
+    )
+    def op(u):
+        return 4.0 * u[0, 0] - u[-1, 0] - u[1, 0] - u[0, -1] - u[0, 1]
+
+    h = ntp.assemble_matrix(op)
+    with pytest.raises(ValueError, match="coarsenable"):
+        multigrid_solve([h, h], np.zeros((33, 33)))
