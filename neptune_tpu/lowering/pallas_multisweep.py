@@ -4,8 +4,10 @@ A single sweep of a star stencil at HBM-resident sizes is bandwidth-bound:
 the roofline is one read + one write per cell per sweep. Fixed-point
 iterations (Jacobi relaxation, Richardson smoothing, explicit time stepping
 x <- A x) apply the SAME operator K times, and the reference runs them as K
-separate kernel launches (`runtime/Runtime.cpp` KSP Richardson loop), paying
-K full HBM round trips. This kernel restructures the loop so each grid slab
+separate kernel invocations (explicit stepping re-enters the compiled kernel
+per step: `NeptunePETScRuntime.cpp:638-714` method=2 forward-Euler calls
+rhs_sym once per time_advance, driven from a host loop), paying K full HBM
+round trips. This kernel restructures the loop so each grid slab
 is fetched ONCE into VMEM with a K*h-deep halo window and relaxed K times
 on-chip before the result is written back:
 
