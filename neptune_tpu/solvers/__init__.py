@@ -4,7 +4,13 @@
 from .assemble import MatrixHandle
 from .krylov import SolveInfo, bicgstab, cg, direct, gmres, solve
 from .newton import NewtonInfo, newton_krylov, picard
-from .multigrid import build_levels, mg_preconditioner, multigrid_solve, v_cycle
+from .multigrid import (
+    build_levels,
+    fmg_start,
+    mg_preconditioner,
+    multigrid_solve,
+    v_cycle,
+)
 from .precond import extract_diagonal, jacobi, make_preconditioner, ssor_dense
 from .diff import differentiable_root, differentiable_solve
 from .time import simulate
@@ -21,6 +27,7 @@ __all__ = [
     "newton_krylov",
     "picard",
     "build_levels",
+    "fmg_start",
     "mg_preconditioner",
     "multigrid_solve",
     "v_cycle",

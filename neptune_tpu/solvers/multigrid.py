@@ -277,6 +277,51 @@ def multigrid_solve(
     return x, SolveInfo(iters=iters, resnorm=rn, converged=conv)
 
 
+def fmg_start(
+    levels: Sequence[MGLevel],
+    b,
+    *,
+    pre: int = 2,
+    post: int = 2,
+    omega: float = 0.8,
+    coarse_iters: int = 64,
+    smoother: str = "rb",
+):
+    """Full-multigrid initial guess: restrict b down the hierarchy, solve on
+    the coarsest grid, then interpolate up with one V-cycle per level. Costs
+    ~2 V-cycle equivalents and lands within a small factor of discretization
+    accuracy, typically saving several fine-grid cycles versus a zero start
+    (pass the result as `x0=` to `multigrid_solve`)."""
+    b = jnp.asarray(b)
+    # restrict the rhs down (ring-zeroed: correction-equation data)
+    rhs = [b]
+    for L in levels[1:]:
+        rhs.append(
+            jnp.where(L.interior, restrict(rhs[-1]), 0.0).astype(b.dtype)
+        )
+    x = jnp.zeros_like(rhs[-1])
+    for lvl in range(len(levels) - 1, -1, -1):
+        bl = rhs[lvl] if lvl > 0 else b
+        if lvl == len(levels) - 1:
+            x = v_cycle(
+                levels[lvl:], bl, x, pre=pre, post=post, omega=omega,
+                coarse_iters=coarse_iters, smoother=smoother,
+            )
+        else:
+            x = prolong(x, bl.shape)
+            if lvl == 0:
+                # finest level: seed the true boundary values (see
+                # multigrid_solve); coarser levels carry zero-ring data
+                x = jnp.where(levels[0].interior, x, bl)
+            else:
+                x = jnp.where(levels[lvl].interior, x, jnp.zeros_like(x))
+            x = v_cycle(
+                levels[lvl:], bl, x, pre=pre, post=post, omega=omega,
+                coarse_iters=coarse_iters, smoother=smoother,
+            )
+    return x
+
+
 def mg_preconditioner(
     ops: Sequence,
     like,

@@ -152,3 +152,25 @@ def test_odd_shape_rejected():
     h = ntp.assemble_matrix(op)
     with pytest.raises(ValueError, match="coarsenable"):
         multigrid_solve([h, h], np.zeros((33, 33)))
+
+
+def test_fmg_start_saves_cycles():
+    from neptune_tpu.solvers.multigrid import build_levels, fmg_start
+    import jax
+
+    ops = poisson_ops([128, 64, 32, 16])
+    rng = np.random.default_rng(6)
+    b = jnp.asarray(rng.standard_normal((128, 128)))
+    lv = build_levels(ops, b)
+
+    x_fmg = jax.jit(lambda b: fmg_start(lv, b))(b)
+    _, from_zero = multigrid_solve(ops, b, tol=1e-9, maxiter=60, levels=lv)
+    x, from_fmg = multigrid_solve(
+        ops, b, x0=x_fmg, tol=1e-9, maxiter=60, levels=lv
+    )
+    assert bool(from_fmg.converged)
+    assert int(from_fmg.iters) < int(from_zero.iters), (
+        int(from_fmg.iters), int(from_zero.iters),
+    )
+    r = b - ops[0].matvec(x)
+    assert float(jnp.linalg.norm(r)) <= 1e-9 * float(jnp.linalg.norm(b)) * 1.01
