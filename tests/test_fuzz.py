@@ -217,3 +217,65 @@ def test_periodic_jnp_vs_native(case):
     np.testing.assert_allclose(
         y_jnp, y_nat, atol=1e-10, err_msg=f"periodic case {case} diverged"
     )
+
+
+@pytest.mark.parametrize("case", range(8))
+def test_multisweep_vs_loop_random_programs(case):
+    """Random eligible operators: K fused sweeps must equal K single applies."""
+    from neptune_tpu.lowering import pallas_multisweep
+
+    rng = np.random.default_rng(4000 + case)
+    n0 = int(rng.choice([64, 96, 128]))
+    n1 = int(rng.choice([128, 256]))
+    k = int(rng.integers(2, 9))
+    bounds = Bounds.of((0, 0), (n0, n1))
+    from neptune_tpu.ir import F32
+
+    tt = TempType("float32", bounds)
+    n_off = int(rng.integers(2, 5))
+    offsets = [
+        (int(rng.integers(-2, 3)), int(rng.integers(-2, 3)))
+        for _ in range(n_off)
+    ] + [(0, 0)]
+    h = [max(abs(o[d]) for o in offsets) for d in (0, 1)]
+    if h[0] == 0:
+        offsets.append((1, 0))
+        h[0] = 1
+    interior = Bounds.of((h[0], h[1]), (n0 - h[0], n1 - h[1]))
+
+    b = NeptuneBuilder()
+    fn = b.make_opdef("ms", "nonlinear_opdef", [tt], [tt])
+    b.push_block(fn.body)
+    op, body = b.start_apply([fn.body.args[0]], interior)
+    b.push_block(body)
+    acc = None
+    for off in offsets:
+        # tanh-bounded terms keep K-fold f32 accumulation comparable
+        t = b.mul(
+            b.unary_math("tanh", b.access(body.args[2], off)),
+            b.constant(float(rng.uniform(-0.3, 0.3)), F32),
+        )
+        acc = t if acc is None else b.add(acc, t)
+    b.yield_(acc)
+    b.pop_block()
+    b.return_([b.finish_apply(op)])
+    b.pop_block()
+
+    cm = compile_ir(b.module, backend="auto")
+    x = rng.standard_normal((n0, n1)).astype(np.float32)
+    one = cm.opdef("ms")
+    y_ref = x
+    for _ in range(k):
+        y_ref = np.asarray(one(y_ref), np.float32)
+
+    if pallas_multisweep.best_depth(cm.module, "ms", k) is None:
+        pytest.skip(f"case {case}: geometry ineligible (k={k}, h={h})")
+    config.pallas_interpret = True
+    try:
+        y = np.asarray(cm.sweeps("ms", k)(x))
+    finally:
+        config.pallas_interpret = False
+    np.testing.assert_allclose(
+        y, y_ref, atol=1e-5,
+        err_msg=f"case {case}: fused k={k} sweeps diverged (h={h})",
+    )
