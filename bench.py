@@ -173,6 +173,17 @@ def full_suite():
         "kernel": "temporal-blocking multisweep (K sweeps per HBM pass)",
     }
 
+    # config 1c: VMEM-resident temporal blocking at a VMEM-scale size
+    make_jacobi_2d(1024)
+    fused_r = ntp.get_context().compiled().sweeps("jacobi", 16)
+    dt = timed_sweep(fused_r, x, 40, 120)
+    results["jacobi_2d_1024_temporal_k16"] = {
+        "us_per_sweep": dt / 16 * 1e6,
+        "gcell_per_s": 1024 * 1024 * 16 / dt / 1e9,
+        "frac_of_single_sweep_roofline": (1024 * 1024 * 16 / dt) / ROOFLINE_CELLS,
+        "kernel": "temporal-blocking multisweep (whole grid VMEM-resident)",
+    }
+
     # config 4: matrix-free CG Poisson + Jacobi preconditioner
     n = 512
     ntp.reset_context()

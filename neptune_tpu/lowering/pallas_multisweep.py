@@ -66,12 +66,16 @@ _VMEM_BUDGET = 9 * 1024 * 1024
 _MAX_HP = 24  # cap the fused depth: K * h0 <= 24 halo rows
 
 
-def find_sweep_apply(module: Module, name: str) -> Optional[Operation]:
+def find_sweep_apply(
+    module: Module, name: str, allow_periodic: bool = False
+) -> Optional[Operation]:
     """The single apply op of a unary opdef eligible for temporal blocking.
 
     Returns None (caller falls back to K separate sweeps) unless the opdef
     body is exactly one self-shaped apply: one temp input, one result,
-    float32, rank 2, non-periodic, with a nonzero dim-0 halo.
+    float32, rank 2, with a nonzero dim-0 halo. Periodic operators are only
+    eligible for the VMEM-resident kernel (whose rolls ARE torus wrap), so
+    they are rejected unless allow_periodic.
     """
     fn = module.lookup(name)
     if not getattr(fn, "is_opdef", False):
@@ -98,7 +102,7 @@ def find_sweep_apply(module: Module, name: str) -> Optional[Operation]:
         return None
     if out_type.bounds.rank != 2:
         return None
-    if apply_op.attrs.get("periodic"):
+    if apply_op.attrs.get("periodic") and not allow_periodic:
         return None
     n_in = apply_op.attrs.get("num_inputs", len(apply_op.operands))
     if n_in != 1 or len(apply_op.results) != 1:
@@ -117,7 +121,8 @@ def find_sweep_apply(module: Module, name: str) -> Optional[Operation]:
     if not sshape.offsets:
         return None
     h0, h1 = (max(h) for h in sshape.halo())
-    if h0 < 1 or h1 >= out_type.bounds.shape[1]:
+    shp = out_type.bounds.shape
+    if h0 < 1 or h0 >= shp[0] or h1 >= shp[1]:
         return None
     return apply_op
 
@@ -157,6 +162,123 @@ def sweeps_plan(module: Module, name: str, k: int) -> Optional[dict]:
     return {"op": op, "slab": slab, "hp": hp, "win": win, "h0": h0}
 
 
+# grids at or below this many bytes run the whole-array VMEM-resident
+# variant: one block, K sweeps of pure vector rolls, in+out crossing HBM
+# once per call. Also the only variant that supports periodic operators
+# (wraparound rolls ARE the torus semantics).
+_RESIDENT_BYTES = 4 * 1024 * 1024
+_RESIDENT_MAX_K = 32  # per-call unroll cap (compile time); chain beyond
+
+
+def resident_plan(module: Module, name: str, k: int) -> Optional[Operation]:
+    """Eligibility for the whole-grid VMEM-resident K-sweep kernel."""
+    op = find_sweep_apply(module, name, allow_periodic=True)
+    if op is None or k < 2:
+        return None
+    out_type: TempType = op.results[0].type
+    shape = out_type.bounds.shape
+    if math.prod(shape) < 64 * 128 or shape[1] < 128:
+        return None
+    if math.prod(shape) * jnp.dtype(out_type.element).itemsize > _RESIDENT_BYTES:
+        return None
+    return op
+
+
+def execute_sweeps_resident(
+    module: Module,
+    name: str,
+    x,
+    scalars: Sequence,
+    k: int,
+    *,
+    interpret: bool = False,
+):
+    """K fused sweeps with the whole grid resident in VMEM (one block).
+
+    No halo window, no validity creep: rolls wrap at the array edge, which
+    for periodic operators is exactly the torus semantics and for bounded
+    operators lands in the boundary-masked (copy-through) ring.
+    """
+    op = resident_plan(module, name, k)
+    assert op is not None, "execute_sweeps_resident on an ineligible opdef"
+    out_type: TempType = op.results[0].type
+    bounds: Bounds = op.attrs["bounds"]
+    outer = out_type.bounds
+    shape = outer.shape
+    dtype = jnp.dtype(out_type.element)
+    body = op.region(0)
+    full_domain = bounds == outer
+    n_scalars = len(scalars)
+
+    def kernel(*refs):
+        in_ref = refs[0]
+        scalar_refs = refs[1 : 1 + n_scalars]
+        out_ref = refs[1 + n_scalars]
+
+        if full_domain:
+            mask = None
+        else:
+            m = None
+            for d in (0, 1):
+                iv = jax.lax.broadcasted_iota(jnp.int32, shape, d) + outer.lb[d]
+                md = (iv >= bounds.lb[d]) & (iv < bounds.ub[d])
+                m = md if m is None else (m & md)
+            mask = m
+
+        def index_fn(d):
+            return (
+                jax.lax.broadcasted_iota(jnp.int32, shape, d) + outer.lb[d]
+            )
+
+        scalar_vals = [r[0, 0] for r in scalar_refs]
+        v = in_ref[...]
+        for _sweep in range(k):
+            src = v
+
+            def access_fn(_k, offset, src=src):
+                s = src
+                for d in (0, 1):
+                    if offset[d]:
+                        s = pltpu.roll(
+                            s, jnp.int32((-offset[d]) % shape[d]), axis=d
+                        )
+                return s
+
+            y = jnp_backend.eval_scalar_dag(
+                body, 2, 1, access_fn, index_fn, scalar_vals
+            )[0]
+            y = jnp.broadcast_to(jnp.asarray(y, dtype), shape)
+            v = y if mask is None else jnp.where(mask, y, src)
+        out_ref[...] = v
+
+    in_specs = [pl.BlockSpec(shape, lambda: (0, 0), memory_space=pltpu.VMEM)]
+    for _ in range(n_scalars):
+        in_specs.append(
+            pl.BlockSpec((1, 1), lambda: (0, 0), memory_space=pltpu.SMEM)
+        )
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        )
+    call_inputs = [jnp.asarray(x, dtype)]
+    call_inputs.extend(jnp.asarray(s).reshape(1, 1) for s in scalars)
+    n_offsets = len(set(op.attrs["shape"].offsets)) or 1
+    return pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(shape, lambda: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(shape, dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_offsets * k * math.prod(shape),
+            bytes_accessed=2 * math.prod(shape) * dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+        **kwargs,
+    )(*call_inputs)
+
+
 def best_depth(module: Module, name: str, k: int) -> Optional[int]:
     """The fused depth to run per kernel call for a total of k sweeps.
 
@@ -167,6 +289,10 @@ def best_depth(module: Module, name: str, k: int) -> Optional[int]:
     the executor chains ceil(k/depth) kernel calls. Depths dividing k are
     preferred (no leftover single sweeps).
     """
+    if resident_plan(module, name, k) is not None:
+        cap = min(k, _RESIDENT_MAX_K)
+        for d in [x for x in range(cap, 1, -1) if k % x == 0] + [cap]:
+            return d
     op = find_sweep_apply(module, name)
     if op is None or k < 2:
         return None
@@ -192,8 +318,12 @@ def execute_sweeps(
 ):
     """Run K fused sweeps of opdef @name over x in one pallas_call.
 
-    Caller must have checked `sweeps_plan` is not None.
+    Caller must have checked eligibility (best_depth is not None).
     """
+    if resident_plan(module, name, k) is not None:
+        return execute_sweeps_resident(
+            module, name, x, scalars, k, interpret=interpret
+        )
     plan = sweeps_plan(module, name, k)
     assert plan is not None, "execute_sweeps on an ineligible opdef"
     op: Operation = plan["op"]

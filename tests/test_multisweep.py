@@ -183,3 +183,66 @@ def test_dsl_sweeps_surface():
     finally:
         config.pallas_interpret = False
     np.testing.assert_allclose(y, r, atol=1e-5)
+
+
+class TestResidentAndWindowPaths:
+    def test_window_path_still_used_for_big_grids(self):
+        # > _RESIDENT_BYTES forces the rolling-window kernel; pin that the
+        # dispatch picks it and that it matches the loop
+        m = jacobi_module(1152, 1024, FIVE_POINT)
+        cm = compile_ir(m, backend="auto")
+        assert pallas_multisweep.resident_plan(cm.module, "op", 4) is None
+        assert pallas_multisweep.sweeps_plan(cm.module, "op", 4) is not None
+        rng = np.random.default_rng(21)
+        x = rng.standard_normal((1152, 1024)).astype(np.float32)
+        one = cm.opdef("op")
+        y_ref = x
+        for _ in range(4):
+            y_ref = np.asarray(one(y_ref), np.float32)
+        config.pallas_interpret = True
+        try:
+            y = np.asarray(cm.sweeps("op", 4)(x))
+        finally:
+            config.pallas_interpret = False
+        np.testing.assert_allclose(y, y_ref, atol=1e-5)
+
+    def test_resident_path_small_grid(self):
+        m = jacobi_module(128, 256, FIVE_POINT)
+        cm = compile_ir(m, backend="auto")
+        assert pallas_multisweep.resident_plan(cm.module, "op", 4) is not None
+
+    def test_periodic_resident(self):
+        # periodic operators fuse via the resident kernel (rolls = torus)
+        m = jacobi_module(64, 128, FIVE_POINT, periodic=True)
+        cm = compile_ir(m, backend="auto")
+        assert pallas_multisweep.best_depth(cm.module, "op", 6) is not None
+        rng = np.random.default_rng(22)
+        x = rng.standard_normal((64, 128)).astype(np.float32)
+        one = cm.opdef("op")
+        y_ref = x
+        for _ in range(6):
+            y_ref = np.asarray(one(y_ref), np.float32)
+        config.pallas_interpret = True
+        try:
+            y = np.asarray(cm.sweeps("op", 6)(x))
+        finally:
+            config.pallas_interpret = False
+        np.testing.assert_allclose(y, y_ref, atol=1e-5)
+
+    def test_resident_deep_k(self):
+        # k beyond the per-call unroll cap chains resident calls
+        m = jacobi_module(128, 128, FIVE_POINT)
+        cm = compile_ir(m, backend="auto")
+        k = 40
+        rng = np.random.default_rng(23)
+        x = rng.standard_normal((128, 128)).astype(np.float32)
+        one = cm.opdef("op")
+        y_ref = x
+        for _ in range(k):
+            y_ref = np.asarray(one(y_ref), np.float32)
+        config.pallas_interpret = True
+        try:
+            y = np.asarray(cm.sweeps("op", k)(x))
+        finally:
+            config.pallas_interpret = False
+        np.testing.assert_allclose(y, y_ref, atol=3e-5)
