@@ -100,9 +100,10 @@ class CompiledModule:
         sweep), eligible operators here lower to ONE temporal-blocking
         Pallas kernel (`pallas_multisweep`): each slab is fetched once with
         a k*h-deep halo window and relaxed k times VMEM-resident, beating
-        the single-sweep bandwidth roofline by ~k/(1 + k*h/slab). Ineligible
-        operators (periodic, f64, rank != 2, composite bodies) fall back to
-        a `lax.fori_loop` of single applies.
+        the single-sweep bandwidth roofline by ~k/(1 + k*h/slab); grids
+        that fit VMEM whole (including periodic domains) take the resident
+        variant instead. Ineligible operators (f64, rank != 2, composite
+        bodies) fall back to a `lax.fori_loop` of single applies.
         """
         from . import pallas_backend, pallas_multisweep
 

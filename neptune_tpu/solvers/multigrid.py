@@ -30,7 +30,6 @@ the Newton/Krylov stack with `mg_preconditioner` per field.
 
 from __future__ import annotations
 
-import math
 from typing import Callable, NamedTuple, Optional, Sequence
 
 import jax
