@@ -246,3 +246,44 @@ class TestResidentAndWindowPaths:
         finally:
             config.pallas_interpret = False
         np.testing.assert_allclose(y, y_ref, atol=3e-5)
+
+
+def test_sweeps_rejects_non_unary():
+    from neptune_tpu.ir import Bounds, NeptuneBuilder, TempType
+
+    b = NeptuneBuilder()
+    tt = TempType("float32", Bounds.of((0, 0), (16, 16)))
+    fn = b.make_opdef("binop", "nonlinear_opdef", [tt, tt], [tt])
+    b.push_block(fn.body)
+    op, body = b.start_apply(list(fn.body.args), Bounds.of((0, 0), (16, 16)))
+    b.push_block(body)
+    b.yield_(b.add(b.access(body.args[2], (0, 0)), b.access(body.args[3], (0, 0))))
+    b.pop_block()
+    b.return_([b.finish_apply(op)])
+    b.pop_block()
+    cm = compile_ir(b.module, backend="auto")
+    with pytest.raises(ValueError, match="unary"):
+        cm.sweeps("binop", 4)
+
+
+def test_dsl_sweeps_rejects_traced_mode():
+    import neptune_tpu as ntp
+
+    ntp.reset_context()
+
+    @ntp.linear_op_def(
+        bounds=([0, 0], [64, 128]), interior=([1, 1], [63, 127]),
+        dtype="float32", name="tr",
+    )
+    def op(u):
+        return 0.25 * (u[-1, 0] + u[1, 0] + u[0, -1] + u[0, 1])
+
+    ctx = ntp.get_context()
+    fn = ctx.builder.make_function("dummy_trace", "func", [], [])
+    ctx.current_function = fn  # simulate an active method trace
+    try:
+        with pytest.raises(RuntimeError, match="outside the traced"):
+            ntp.sweeps(op, 4)
+    finally:
+        ctx.current_function = None
+        ctx.module.functions.pop("dummy_trace", None)
