@@ -391,11 +391,16 @@ def solve_linear(
     precond: str = "none",
     verbose: bool = False,
     precision: str = "full",
+    options=None,
 ):
     """Solve A x = b (reference `dsl.py:70-74`; defaults cg + tol 1e-6).
 
     precision="mixed" runs f32 inner Krylov solves with f64 residual
-    refinement — f64 accuracy at f32 TPU speed (solvers.refine)."""
+    refinement — f64 accuracy at f32 TPU speed (solvers.refine).
+    options: per-solve runtime options dict or PETSc-style string, e.g.
+    {"restart": 50, "atol": 1e-12, "divtol": 1e5} — the reference's
+    per-object PETSc options escape hatch
+    (`NeptunePETScRuntime.cpp:139-150`)."""
     ctx = get_context()
     if ctx.tracing:
         b = ctx.builder
@@ -420,6 +425,7 @@ def solve_linear(
             precond=precond,
             verbose=verbose,
             precision=precision,
+            options=options,
         )
         return Expr(E.TempLeaf(out.type, ir_value=out))
 
@@ -439,6 +445,21 @@ def solve_linear(
             precond, matrix.matvec, like, matrix.halo, dense_matrix=dense
         )
     from ..utils import profiling
+    from ..utils.options import (
+        LINEAR_OPTION_KEYS,
+        linear_option_kwargs,
+        merged_linear_options,
+        parse_options,
+    )
+
+    opts = merged_linear_options(
+        parse_options(options, LINEAR_OPTION_KEYS, where="solve_linear")
+    )
+    if precision == "mixed" and options:
+        raise ValueError(
+            "precision='mixed' does not support per-solve options; "
+            "drop options= or use precision='full'"
+        )
 
     if precision == "mixed":
         if precond == "ssor":
@@ -472,10 +493,15 @@ def solve_linear(
         return x
 
     if solver == "direct":
+        if opts:
+            raise ValueError(
+                f"solver='direct' takes no runtime options (got {sorted(opts)})"
+            )
         x, info = krylov.direct(matrix.dense(), b_arr)
     else:
         x, info = krylov.solve(
-            matrix.matvec, b_arr, solver=solver, tol=tol, maxiter=max_iters, M=M
+            matrix.matvec, b_arr, solver=solver, tol=tol, maxiter=max_iters,
+            M=M, **linear_option_kwargs(solver, opts),
         )
     if verbose or profiling.verbose_default():
         profiling.report_solve(f"KSP({solver})", matrix.symbol, info)
@@ -496,6 +522,7 @@ def solve_nonlinear(
     krylov_tol: float = 1e-6,
     krylov_iters: int = 200,
     verbose: bool = False,
+    options=None,
 ):
     """Solve F(U) = 0 for a (possibly multi-field) state.
 
@@ -563,6 +590,7 @@ def solve_nonlinear(
             captures=cap_vals,
             method="newton" if method.startswith("newton") else method,
             verbose=verbose,
+            options=options,
             **nkw,
         )
         outs = out if isinstance(out, tuple) else (out,)
@@ -593,8 +621,21 @@ def solve_nonlinear(
         out = res_fn(*ss, *cap_arrays)
         return out if isinstance(out, tuple) else (out,)
 
+    from ..utils.options import (
+        NONLINEAR_OPTION_KEYS,
+        merged_nonlinear_options,
+        nonlinear_option_kwargs,
+        parse_options,
+    )
+
+    okw = nonlinear_option_kwargs(
+        "picard" if method == "picard" else "newton",
+        merged_nonlinear_options(
+            parse_options(options, NONLINEAR_OPTION_KEYS, where="solve_nonlinear")
+        ),
+    )
     if method == "picard":
-        x, info = picard(F, state_arrays, tol=tol, max_iters=max_iters)
+        x, info = picard(F, state_arrays, tol=tol, max_iters=max_iters, **okw)
     else:
         x, info = newton_krylov(
             F,
@@ -603,6 +644,7 @@ def solve_nonlinear(
             max_iters=max_iters,
             krylov_tol=krylov_tol,
             krylov_iters=krylov_iters,
+            **okw,
         )
     from ..utils import profiling
 
@@ -657,6 +699,7 @@ def time_advance(
     max_iters: int = 200,
     precond: str = "none",
     scheme: str = "euler",
+    options=None,
 ):
     """One time step (IR op `neptune_ir.time_advance`, NeptuneIROps.td:746-774).
 
@@ -692,6 +735,7 @@ def time_advance(
             max_iters=max_iters,
             precond=precond,
             scheme=scheme,
+            options=options,
         )
         return Expr(E.TempLeaf(out.type, ir_value=out))
 
@@ -717,7 +761,7 @@ def time_advance(
     if method == TimeMethod.IMPLICIT_LINEAR:
         return solve_linear(
             assemble_matrix(system), u, solver=solver, tol=tol,
-            max_iters=max_iters, precond=precond,
+            max_iters=max_iters, precond=precond, options=options,
         )
     if method == TimeMethod.IMPLICIT_NONLINEAR:
         res = ctx.compiled().opdef(_sym_name(residual))
@@ -725,6 +769,19 @@ def time_advance(
         def F(ss):
             return (res(ss[0], u),)
 
-        x, _ = newton_krylov(F, (u,), tol=tol, max_iters=max_iters)
+        from ..utils.options import (
+            NONLINEAR_OPTION_KEYS,
+            merged_nonlinear_options,
+            nonlinear_option_kwargs,
+            parse_options,
+        )
+
+        okw = nonlinear_option_kwargs(
+            "newton",
+            merged_nonlinear_options(
+                parse_options(options, NONLINEAR_OPTION_KEYS, where="time_advance")
+            ),
+        )
+        x, _ = newton_krylov(F, (u,), tol=tol, max_iters=max_iters, **okw)
         return x[0]
     raise ValueError("eager time_advance does not support method=runtime")

@@ -380,10 +380,16 @@ class NeptuneBuilder(Builder):
         precond: str = "none",
         verbose: bool = False,
         precision: str = "full",
+        options=None,
     ) -> Value:
         """Solve A x = b (reference NeptuneIROps.td:646-684; solver attrs
         "cg"/"gmres"/"bicgstab" + tol + max_iters; preconditioner is new here —
-        the reference defaults to PCNONE, `NeptunePETScRuntime.cpp:146-149`)."""
+        the reference defaults to PCNONE, `NeptunePETScRuntime.cpp:146-149`).
+
+        options: extra per-solve runtime options (dict or PETSc-style string,
+        e.g. {"restart": 50, "atol": 1e-12, "divtol": 1e5}) — the analog of
+        the reference's per-object PETSc options string
+        (`NeptunePETScRuntime.cpp:139-150, 284-298`)."""
         _check(isinstance(matrix.type, MatrixType), "solve_linear expects matrix")
         _check(isinstance(rhs.type, TempType), "solve_linear rhs must be temp")
         _check(solver in LINEAR_SOLVERS, f"unknown solver {solver!r}")
@@ -397,17 +403,23 @@ class NeptuneBuilder(Builder):
             "solve_linear element type mismatch (reference rejects f32 system "
             "vs f64 rhs, test/mlir_tests/solve-linear-invalid-system.mlir)",
         )
+        from ..utils.options import LINEAR_OPTION_KEYS, parse_options
+
+        opts = parse_options(options, LINEAR_OPTION_KEYS, where="solve_linear")
+        attrs = {
+            "solver": solver,
+            "tol": float(tol),
+            "max_iters": int(max_iters),
+            "precond": precond,
+            "verbose": bool(verbose),
+            "precision": precision,
+        }
+        if opts:
+            attrs["options"] = opts
         return self.create(
             "neptune.solve_linear",
             [matrix, rhs],
-            attrs={
-                "solver": solver,
-                "tol": float(tol),
-                "max_iters": int(max_iters),
-                "precond": precond,
-                "verbose": bool(verbose),
-                "precision": precision,
-            },
+            attrs=attrs,
             result_types=[rhs.type],
         ).result
 
@@ -423,6 +435,7 @@ class NeptuneBuilder(Builder):
         krylov_tol: float = 1e-6,
         krylov_iters: int = 200,
         verbose: bool = False,
+        options=None,
     ) -> Value | tuple[Value, ...]:
         """Solve F(u; captures) = 0 (reference NeptuneIROps.td:697-736).
 
@@ -448,20 +461,26 @@ class NeptuneBuilder(Builder):
         operands = list(initial_guess) + list(captures)
         for a, t in zip(operands, fn.ftype.inputs):
             _check(a.type == t, f"solve_nonlinear arg {a.type} != residual input {t}")
+        from ..utils.options import NONLINEAR_OPTION_KEYS, parse_options
+
+        opts = parse_options(options, NONLINEAR_OPTION_KEYS, where="solve_nonlinear")
+        attrs = {
+            "residual": residual,
+            "jacobian": jacobian,
+            "method": method,
+            "tol": float(tol),
+            "max_iters": int(max_iters),
+            "krylov_tol": float(krylov_tol),
+            "krylov_iters": int(krylov_iters),
+            "num_states": n_state,
+            "verbose": bool(verbose),
+        }
+        if opts:
+            attrs["options"] = opts
         op = self.create(
             "neptune.solve_nonlinear",
             operands,
-            attrs={
-                "residual": residual,
-                "jacobian": jacobian,
-                "method": method,
-                "tol": float(tol),
-                "max_iters": int(max_iters),
-                "krylov_tol": float(krylov_tol),
-                "krylov_iters": int(krylov_iters),
-                "num_states": n_state,
-                "verbose": bool(verbose),
-            },
+            attrs=attrs,
             result_types=[v.type for v in initial_guess],
         )
         return op.result if n_state == 1 else tuple(op.results)
@@ -480,11 +499,14 @@ class NeptuneBuilder(Builder):
         max_iters: int = 200,
         precond: str = "none",
         scheme: str = "euler",
+        options=None,
     ) -> Value:
         """One time step (reference NeptuneIROps.td:746-774; verifier
         `NeptuneIRVerifier.cpp:307-340`). `scheme` selects the explicit
         integrator (euler | rk2 | rk4) — an extension over the reference's
-        hard-coded forward Euler (`HighLevelConvertion.cpp:77-120`)."""
+        hard-coded forward Euler (`HighLevelConvertion.cpp:77-120`).
+        `options` carries per-solve runtime options forwarded to the implicit
+        solver (see solve_linear/solve_nonlinear)."""
         _check(isinstance(state.type, TempType), "time_advance state must be temp")
         from .types import TimeMethod
 
@@ -499,21 +521,36 @@ class NeptuneBuilder(Builder):
             _check(system is not None, "implicit_linear requires system symbol")
         elif method == TimeMethod.IMPLICIT_NONLINEAR:
             _check(residual is not None, "implicit_nonlinear requires residual symbol")
+        from ..utils.options import (
+            LINEAR_OPTION_KEYS,
+            NONLINEAR_OPTION_KEYS,
+            parse_options,
+        )
+
+        okeys = (
+            NONLINEAR_OPTION_KEYS
+            if method == TimeMethod.IMPLICIT_NONLINEAR
+            else LINEAR_OPTION_KEYS
+        )
+        opts = parse_options(options, okeys, where="time_advance")
+        attrs = {
+            "method": method,
+            "system": system,
+            "rhs": rhs,
+            "residual": residual,
+            "jacobian": jacobian,
+            "solver": solver,
+            "tol": float(tol),
+            "max_iters": int(max_iters),
+            "precond": precond,
+            "scheme": scheme,
+        }
+        if opts:
+            attrs["options"] = opts
         return self.create(
             "neptune.time_advance",
             [state, dt],
-            attrs={
-                "method": method,
-                "system": system,
-                "rhs": rhs,
-                "residual": residual,
-                "jacobian": jacobian,
-                "solver": solver,
-                "tol": float(tol),
-                "max_iters": int(max_iters),
-                "precond": precond,
-                "scheme": scheme,
-            },
+            attrs=attrs,
             result_types=[state.type],
         ).result
 

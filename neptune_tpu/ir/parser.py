@@ -196,6 +196,11 @@ class Parser:
                 self.lx.i = save
                 return self.parse_list()
         if t[1] == "{":
+            # `{ident = ...}` is a nested attr dict (e.g. solver options);
+            # `{[o, ...], ...}` is a StencilShape
+            nxt = self.lx.peek(1)
+            if nxt is not None and nxt[0] == "ident" and nxt[1] not in ("true", "false", "none"):
+                return self.parse_attr_dict()
             return self.parse_stencil_shape()
         if t[0] == "str":
             return self.lx.next()[1][1:-1]

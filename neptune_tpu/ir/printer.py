@@ -33,6 +33,12 @@ def _fmt_attr(v) -> str:
         return "none"
     if isinstance(v, tuple):
         return "[" + ", ".join(_fmt_attr(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return (
+            "{"
+            + ", ".join(f"{k} = {_fmt_attr(x)}" for k, x in sorted(v.items()))
+            + "}"
+        )
     return str(v)
 
 

@@ -363,6 +363,16 @@ class CompiledModule:
         max_iters = op.attrs["max_iters"]
         precond = op.attrs.get("precond", "none")
         precision = op.attrs.get("precision", "full")
+        from ..utils.options import merged_linear_options
+
+        opts = merged_linear_options(op.attrs.get("options"))
+        if precision == "mixed":
+            if op.attrs.get("options"):
+                raise ValueError(
+                    "precision='mixed' does not support per-solve options; "
+                    "drop options= or use precision='full'"
+                )
+            opts = {}
         if precision == "mixed":
             if precond == "ssor":
                 raise ValueError(
@@ -400,9 +410,12 @@ class CompiledModule:
                 )
             return x
         # fully-fused VMEM-resident CG kernel when eligible (f32, rank-2,
-        # fits VMEM, running on TPU) — ~2x over the XLA while_loop path
+        # fits VMEM, running on TPU) — ~2x over the XLA while_loop path.
+        # Per-solve options (atol/divtol/restart) are honored only by the
+        # generic Krylov path, so their presence routes around the kernel.
         if (
             solver == "cg"
+            and not opts
             and precond in (None, "none", "jacobi")
             and self.backend in ("auto", "pallas")
         ):
@@ -443,10 +456,19 @@ class CompiledModule:
                 precond, handle.matvec, like, handle.halo, dense_matrix=dense
             )
         if solver == "direct":
+            if opts:
+                raise ValueError(
+                    "solver='direct' takes no runtime options "
+                    f"(got {sorted(opts)})"
+                )
             x, info = krylov.direct(handle.dense(), b)
         else:
+            from ..utils.options import linear_option_kwargs
+
+            kw = linear_option_kwargs(solver, opts)
             x, info = krylov.solve(
-                handle.matvec, b, solver=solver, tol=tol, maxiter=max_iters, M=M
+                handle.matvec, b, solver=solver, tol=tol, maxiter=max_iters,
+                M=M, **kw,
             )
         if op.attrs.get("verbose") or profiling.verbose_default():
             profiling.report_solve(f"KSP({solver})", handle.symbol, info)
@@ -464,6 +486,12 @@ class CompiledModule:
             return out if isinstance(out, tuple) else (out,)
 
         method = op.attrs["method"]
+        from ..utils.options import merged_nonlinear_options, nonlinear_option_kwargs
+
+        okw = nonlinear_option_kwargs(
+            "picard" if method == "picard" else "newton",
+            merged_nonlinear_options(op.attrs.get("options")),
+        )
         if method in ("newton", "newton-krylov"):
             x, info = newton_krylov(
                 residual,
@@ -472,10 +500,15 @@ class CompiledModule:
                 max_iters=op.attrs["max_iters"],
                 krylov_tol=op.attrs.get("krylov_tol", 1e-6),
                 krylov_iters=op.attrs.get("krylov_iters", 200),
+                **okw,
             )
         elif method == "picard":
             x, info = picard(
-                residual, states0, tol=op.attrs["tol"], max_iters=op.attrs["max_iters"]
+                residual,
+                states0,
+                tol=op.attrs["tol"],
+                max_iters=op.attrs["max_iters"],
+                **okw,
             )
         else:
             raise ValueError(f"unknown nonlinear method {method!r}")
@@ -502,6 +535,11 @@ class CompiledModule:
             if precond not in (None, "none"):
                 like = jnp.zeros(handle.grid_shape, handle.dtype)
                 M = make_preconditioner(precond, handle.matvec, like, handle.halo)
+            from ..utils.options import linear_option_kwargs, merged_linear_options
+
+            kw = linear_option_kwargs(
+                op.attrs["solver"], merged_linear_options(op.attrs.get("options"))
+            )
             x, info = krylov.solve(
                 handle.matvec,
                 state,
@@ -509,6 +547,7 @@ class CompiledModule:
                 tol=op.attrs["tol"],
                 maxiter=op.attrs["max_iters"],
                 M=M,
+                **kw,
             )
             return x
         if method == TimeMethod.IMPLICIT_NONLINEAR:

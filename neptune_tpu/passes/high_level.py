@@ -126,6 +126,7 @@ def convert_time_advance(module: Module) -> Module:
                         tol=op.attrs.get("tol", 1e-8),
                         max_iters=op.attrs.get("max_iters", 200),
                         precond=op.attrs.get("precond", "none"),
+                        options=op.attrs.get("options"),
                     )
                 elif method == TimeMethod.IMPLICIT_NONLINEAR:
                     new = b.solve_nonlinear(
@@ -136,6 +137,7 @@ def convert_time_advance(module: Module) -> Module:
                         method="newton",
                         tol=op.attrs.get("tol", 1e-8),
                         max_iters=op.attrs.get("max_iters", 50),
+                        options=op.attrs.get("options"),
                     )
                     if isinstance(new, tuple):
                         new = new[0]

@@ -48,6 +48,17 @@ def _tolerances(b, tol, atol):
     return jnp.maximum(tol * bnorm, jnp.asarray(atol, bnorm.dtype)), bnorm
 
 
+def _divergence_bound(bnorm, divtol):
+    """||r|| above this is divergence (PETSc -ksp_divtol, relative to ||b||;
+    default off — the reference's default is 1e5 but PETSc only applies it
+    after the first iteration, and transient residual spikes are normal in
+    BiCGStab, so divergence detection is opt-in via options={'divtol': ...})."""
+    big = jnp.asarray(jnp.finfo(bnorm.dtype).max, bnorm.dtype)
+    if divtol is None:
+        return big
+    return jnp.minimum(divtol * jnp.maximum(bnorm, 1.0), big)
+
+
 def _identity(x):
     return x
 
@@ -66,11 +77,13 @@ def cg(
     atol: float = 0.0,
     maxiter: int = 1000,
     M: Optional[Callable] = None,
+    divtol: Optional[float] = None,
 ):
     """Preconditioned conjugate gradient for SPD operators."""
     M = M or _identity
     x0 = tzeros_like(b) if x0 is None else x0
-    target, _ = _tolerances(b, tol, atol)
+    target, bnorm = _tolerances(b, tol, atol)
+    divbound = _divergence_bound(bnorm, divtol)
 
     r0 = tsub(b, matvec(x0))
     z0 = M(r0)
@@ -79,7 +92,9 @@ def cg(
 
     def cond(state):
         x, r, z, p, rz, k, rnorm = state
-        return jnp.logical_and(k < maxiter, rnorm > target)
+        return jnp.logical_and(
+            jnp.logical_and(k < maxiter, rnorm > target), rnorm <= divbound
+        )
 
     def body(state):
         x, r, z, p, rz, k, _ = state
@@ -113,18 +128,22 @@ def bicgstab(
     atol: float = 0.0,
     maxiter: int = 1000,
     M: Optional[Callable] = None,
+    divtol: Optional[float] = None,
 ):
     """Preconditioned BiCGStab for general (non-symmetric) operators."""
     M = M or _identity
     x0 = tzeros_like(b) if x0 is None else x0
-    target, _ = _tolerances(b, tol, atol)
+    target, bnorm = _tolerances(b, tol, atol)
+    divbound = _divergence_bound(bnorm, divtol)
 
     r0 = tsub(b, matvec(x0))
     rhat = r0  # shadow residual
 
     def cond(state):
         x, r, p, v, rho, alpha, omega, k, rnorm = state
-        return jnp.logical_and(k < maxiter, rnorm > target)
+        return jnp.logical_and(
+            jnp.logical_and(k < maxiter, rnorm > target), rnorm <= divbound
+        )
 
     def body(state):
         x, r, p, v, rho, alpha, omega, k, _ = state
@@ -177,6 +196,7 @@ def gmres(
     maxiter: int = 1000,
     restart: int = 30,
     M: Optional[Callable] = None,
+    divtol: Optional[float] = None,
 ):
     """Restarted GMRES(m). Matches PETSc's default KSP (GMRES(30) + PCNONE,
     `NeptunePETScRuntime.cpp:146-149`). Left preconditioning with M."""
@@ -194,13 +214,18 @@ def gmres(
         return ravel(M(unravel(v)))[0]
 
     Mb = flat_M(flat_b)
-    target = jnp.maximum(tol * jnp.linalg.norm(Mb), jnp.asarray(atol, dtype))
+    Mbnorm = jnp.linalg.norm(Mb)
+    target = jnp.maximum(tol * Mbnorm, jnp.asarray(atol, dtype))
+    divbound = _divergence_bound(Mbnorm, divtol)
 
     x0f = ravel(x0)[0]
 
     def outer_cond(state):
         x, k, rnorm, converged = state
-        return jnp.logical_and(k < maxiter, jnp.logical_not(converged))
+        return jnp.logical_and(
+            jnp.logical_and(k < maxiter, jnp.logical_not(converged)),
+            rnorm <= divbound,
+        )
 
     def outer_body(state):
         x, k, rnorm0, _ = state

@@ -45,11 +45,13 @@ def newton_krylov(
     M: Optional[Callable] = None,
     line_search: bool = True,
     max_backtracks: int = 25,
+    max_step: Optional[float] = None,
 ):
     """Solve F(x) = 0 by Newton's method with GMRES inner solves.
 
     residual: pytree -> pytree (same structure).
     Convergence: ||F(x)|| <= max(tol * ||F(x0)||, atol) — SNES-style rtol+atol.
+    max_step caps ||dx|| per Newton iteration (PETSc -snes_linesearch_maxstep).
     """
     F0 = residual(x0)
     f0norm = tnorm(F0)
@@ -78,6 +80,13 @@ def newton_krylov(
             restart=restart,
             M=M,
         )
+        if max_step is not None:
+            dxnorm = tnorm(dx)
+            cap = jnp.asarray(max_step, dxnorm.dtype)
+            dx = tscale(
+                jnp.where(dxnorm > cap, cap / jnp.maximum(dxnorm, 1e-30), 1.0),
+                dx,
+            )
 
         if line_search:
             # Armijo backtracking: accept the longest lambda with
