@@ -1,0 +1,116 @@
+"""Shard-count stability of distributed Krylov solves at realistic size.
+
+BASELINE.md's bar is "CG iters/sec **converging bit-stably**" and SURVEY §7
+hard part (b) is fixed-reduction-order distributed CG. This suite solves the
+same 256² f64 Poisson system on 1-, 2-, 4-, and 8-shard meshes (1-D and 2-D
+decompositions) and asserts:
+  * every mesh converges,
+  * iteration counts are identical across shard counts (reduction layouts
+    must not perturb the Krylov trajectory at f64), and
+  * converged solutions agree to tight tolerance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import neptune_tpu as ntp
+from neptune_tpu.parallel import GridMesh, sharded_opdef
+from neptune_tpu.solvers import krylov
+
+N = 256
+TOL = 1e-8
+
+
+def _poisson_module():
+    ntp.reset_context()
+
+    @ntp.linear_op_def(
+        bounds=([0, 0], [N, N]), interior=([1, 1], [N - 1, N - 1]), dtype="float64"
+    )
+    def poisson(u):
+        return 4.0 * u[0, 0] - u[-1, 0] - u[1, 0] - u[0, -1] - u[0, 1]
+
+    return ntp.get_context().compiled()
+
+
+def _rhs():
+    rng = np.random.default_rng(7)
+    b = rng.standard_normal((N, N))
+    b[0, :] = b[-1, :] = b[:, 0] = b[:, -1] = 0.0
+    return b
+
+
+MESHES = [(1,), (2,), (4,), (8,), (2, 2), (4, 2)]
+
+
+@pytest.mark.parametrize("shape", MESHES, ids=[str(s) for s in MESHES])
+def test_cg_shard_count_invariance(shape, _cache={}):
+    if "ref" not in _cache:
+        cm = _poisson_module()
+        b = jnp.asarray(_rhs())
+        x, info = jax.jit(
+            lambda bb: krylov.cg(cm.opdef("poisson"), bb, tol=TOL, maxiter=3000)
+        )(b)
+        assert bool(info.converged), "single-device reference CG must converge"
+        _cache["ref"] = (np.asarray(x), int(info.iters))
+        _cache["cm"] = cm
+
+    cm = _cache["cm"]
+    x_ref, iters_ref = _cache["ref"]
+
+    gm = GridMesh(shape)
+    mv = sharded_opdef(cm, "poisson", gm)
+    b_sh = gm.shard(jnp.asarray(_rhs()))
+
+    @jax.jit
+    def solve(bb):
+        return krylov.cg(mv, bb, tol=TOL, maxiter=3000)
+
+    x, info = solve(b_sh)
+    assert bool(info.converged), f"mesh {shape}: CG did not converge"
+    assert int(info.iters) == iters_ref, (
+        f"mesh {shape}: iteration count {int(info.iters)} != single-device "
+        f"{iters_ref} — reduction order perturbed the Krylov trajectory"
+    )
+    # converged solutions agree far below the discretization scale
+    err = np.abs(np.asarray(x) - x_ref).max()
+    scale = max(1.0, np.abs(x_ref).max())
+    assert err / scale < 1e-9, f"mesh {shape}: solution drift {err:.3e}"
+
+
+def test_gmres_sharded_agrees_with_single_device():
+    """GMRES (the reference's default KSP) through ravel-based reductions
+    under sharding — VERDICT r1 flagged this path as CG-only-tested.
+
+    System: implicit-heat operator u - 0.2 lap(u) (the operator class GMRES
+    actually solves in time_advance; restarted GMRES without preconditioning
+    stagnates on pure Poisson, which is what CG is for)."""
+    ntp.reset_context()
+
+    @ntp.linear_op_def(
+        bounds=([0, 0], [N, N]), interior=([1, 1], [N - 1, N - 1]), dtype="float64"
+    )
+    def heatA(u):
+        return u[0, 0] - 0.2 * (
+            u[-1, 0] + u[1, 0] + u[0, -1] + u[0, 1] - 4.0 * u[0, 0]
+        )
+
+    cm = ntp.get_context().compiled()
+    b = jnp.asarray(_rhs())
+    x1, info1 = jax.jit(
+        lambda bb: krylov.gmres(cm.opdef("heatA"), bb, tol=1e-10, maxiter=400)
+    )(b)
+    assert bool(info1.converged)
+
+    gm = GridMesh((4, 2))
+    mv = sharded_opdef(cm, "heatA", gm)
+    b_sh = gm.shard(jnp.asarray(_rhs()))
+    x8, info8 = jax.jit(
+        lambda bb: krylov.gmres(mv, bb, tol=1e-10, maxiter=400)
+    )(b_sh)
+    assert bool(info8.converged)
+    assert int(info8.iters) == int(info1.iters)
+    err = np.abs(np.asarray(x8) - np.asarray(x1)).max()
+    assert err / max(1.0, np.abs(np.asarray(x1)).max()) < 1e-9
