@@ -184,60 +184,272 @@ def full_suite():
         "kernel": "temporal-blocking multisweep (whole grid VMEM-resident)",
     }
 
-    # config 4: matrix-free CG Poisson + Jacobi preconditioner
-    n = 512
-    ntp.reset_context()
-
-    @ntp.linear_op_def(
-        bounds=([0, 0], [n, n]), interior=([1, 1], [n - 1, n - 1]), dtype="float32"
-    )
-    def poisson(u):
-        return 4.0 * u[0, 0] - u[-1, 0] - u[1, 0] - u[0, -1] - u[0, 1]
-
-    H = ntp.assemble_matrix(poisson)
-    b = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
+    # config 4: matrix-free CG Poisson + Jacobi preconditioner.
+    # BASELINE's bar is iters/sec of *converging* solves, so the bench
+    # reports a converged flag + final residual norm and budgets enough
+    # iterations for the 512^2 system (kappa ~ 1e5 -> ~2k CG iterations).
     import jax as _jax
     from neptune_tpu.solvers.fused import fused_cg
-
     from neptune_tpu.solvers.precond import safe_inv_diag
 
+    for n, maxit in ((256, 3500), (512, 5500)):
+        ntp.reset_context()
+
+        @ntp.linear_op_def(
+            bounds=([0, 0], [n, n]),
+            interior=([1, 1], [n - 1, n - 1]),
+            dtype="float32",
+            name="poisson",
+        )
+        def poisson(u):
+            return 4.0 * u[0, 0] - u[-1, 0] - u[1, 0] - u[0, -1] - u[0, 1]
+
+        H = ntp.assemble_matrix(poisson)
+        # 1e-4 relative is the f32 CG recurrence floor for this conditioning
+        # (measured: stagnation at ~7e-5); mixed precision below carries the
+        # solve to 1e-10
+        tol = 1e-4
+        bb = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
+        cm = ntp.get_context().compiled()
+        inv_diag = safe_inv_diag(H.diagonal())
+        solve_f = fused_cg(cm.module, "poisson", tol=tol, maxiter=maxit,
+                           inv_diag=inv_diag)
+
+        REP = 6
+
+        @_jax.jit
+        def many(b):
+            def body(i, carry):
+                b, tot, rn_last = carry
+                x, it, rn = solve_f(b)
+                return b + 1e-6 * x, tot + it, rn
+
+            return _jax.lax.fori_loop(
+                0, REP, body, (b, jnp.int32(0), jnp.float32(0))
+            )
+
+        y, tot, rn = many(bb)
+        _ = float(jnp.sum(y))
+        t0 = time.perf_counter()
+        y, tot, rn = many(bb)
+        _ = float(jnp.sum(y))
+        total = (time.perf_counter() - t0) / REP
+        iters = int(tot) // REP
+        bnorm = float(jnp.linalg.norm(bb))
+        resnorm = float(rn)
+        results[f"cg_poisson_{n}"] = {
+            "iters": iters,
+            "sec_per_solve": total,
+            "iters_per_sec": iters / total,
+            "resnorm": resnorm,
+            "converged": bool(resnorm <= tol * bnorm) and iters < maxit,
+            "tol": tol,
+            "kernel": "fused VMEM-resident CG + Jacobi",
+        }
+
+    # config 5a: the multi-chip production kernel path on real hardware —
+    # shard_map + Pallas window kernel on a 1-device mesh (multi-device
+    # execution is validated by __graft_entry__.dryrun_multichip; this pins
+    # down that the window kernel + ppermute path compiles and performs
+    # outside interpret mode on TPU)
+    from neptune_tpu.parallel import GridMesh, shardmap_opdef
+
+    n = 1024
+    make_jacobi_2d(n)
     cm = ntp.get_context().compiled()
-    inv_diag = safe_inv_diag(H.diagonal())
-    solve_f = fused_cg(cm.module, "poisson", tol=1e-5, maxiter=2000,
-                       inv_diag=inv_diag)
-
-    REP = 10
-
-    @_jax.jit
-    def many(b):
-        def body(i, carry):
-            b, tot = carry
-            x, it, rn = solve_f(b)
-            return b + 1e-6 * x, tot + it
-
-        return _jax.lax.fori_loop(0, REP, body, (b, jnp.int32(0)))
-
-    y, tot = many(b)
-    _ = float(jnp.sum(y))
-    t0 = time.perf_counter()
-    y, tot = many(b)
-    _ = float(jnp.sum(y))
-    total = (time.perf_counter() - t0) / REP
-    iters = int(tot) // REP
-    results["cg_poisson_512"] = {
-        "iters": iters,
-        "sec_per_solve": total,
-        "iters_per_sec": iters / total,
-        "kernel": "fused VMEM-resident CG + Jacobi",
+    gm = GridMesh((1,), ("x",), devices=jax.devices()[:1])
+    mv = shardmap_opdef(cm, "jacobi", gm, backend="pallas")
+    dt = timed_sweep(mv, x, 500, 2500)
+    results["shardmap_pallas_1dev_1024"] = {
+        "us_per_sweep": dt * 1e6,
+        "gcell_per_s": n * n / dt / 1e9,
+        "frac_of_hbm_roofline": (n * n / dt) / ROOFLINE_CELLS,
+        "kernel": "shard_map + halo exchange + Pallas window kernel",
     }
 
-    # config 5: multi-chip 3D stencil — requires a multi-chip slice; recorded
-    # as single-chip shard_map here (the driver's dryrun covers compilation)
+    # config 6: f64 accuracy — implicit heat step on TPU vs the native C++
+    # runtime oracle (the reference's compiled-kernel + solver path), the
+    # BASELINE "match reference CPU outputs to 1e-10" row as a tracked
+    # artifact. Runs in a subprocess because it needs jax_enable_x64, which
+    # must not leak into the f32 Pallas perf configs above.
+    import pathlib
+    import subprocess
+
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import jax; jax.config.update('jax_enable_x64', True); "
+            "import bench, json; print(json.dumps(bench.f64_accuracy_entry()))",
+        ],
+        cwd=str(pathlib.Path(__file__).parent),
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    if r.returncode == 0:
+        results["f64_accuracy_vs_native"] = json.loads(r.stdout.strip().splitlines()[-1])
+    else:
+        results["f64_accuracy_vs_native"] = {
+            "error": f"rc={r.returncode}: {r.stderr[-500:]}"
+        }
+
+    # config 4b: CG Poisson carried to 1e-10 via mixed-precision iterative
+    # refinement (f32 inner solves + f64 residual accumulation) — the
+    # "bit-stable convergence" row at full accuracy. x64 subprocess as above.
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import jax; jax.config.update('jax_enable_x64', True); "
+            "import bench, json; print(json.dumps(bench.cg_mixed_entry()))",
+        ],
+        cwd=str(pathlib.Path(__file__).parent),
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    if r.returncode == 0:
+        results["cg_poisson_512_mixed_1e10"] = json.loads(
+            r.stdout.strip().splitlines()[-1]
+        )
+    else:
+        results["cg_poisson_512_mixed_1e10"] = {
+            "error": f"rc={r.returncode}: {r.stderr[-500:]}"
+        }
+
     results["note_multichip"] = (
-        "single chip available; multi-chip path validated via "
+        "single chip available; multi-chip execution validated via "
         "__graft_entry__.dryrun_multichip on a virtual mesh"
     )
     return results
+
+
+def f64_accuracy_entry():
+    import jax.numpy as jnp
+
+    from neptune_tpu.ir import F64, Bounds, FieldType, NeptuneBuilder, TempType, TensorType
+    from neptune_tpu.passes import compile_ir
+    from neptune_tpu.runtime import compile_native
+
+    n = 48
+    b = NeptuneBuilder()
+    bounds = Bounds.of([0, 0], [n, n])
+    interior = Bounds.of([1, 1], [n - 1, n - 1])
+    tt = TempType("float64", bounds)
+    ft = FieldType("float64", bounds)
+
+    fn = b.make_opdef("heatA64", "linear_opdef", [tt], [tt])
+    b.push_block(fn.body)
+    op, body = b.start_apply([fn.body.args[0]], interior)
+    b.push_block(body)
+    u = body.args[2]
+    c = b.access(u, [0, 0])
+    s = b.access(u, [-1, 0])
+    for o in ([1, 0], [0, -1], [0, 1]):
+        s = b.add(s, b.access(u, o))
+    lap = b.sub(s, b.mul(b.constant(4.0, F64), c))
+    b.yield_(b.sub(c, b.mul(b.constant(0.1, F64), lap)))
+    b.pop_block()
+    b.return_([b.finish_apply(op)])
+    b.pop_block()
+
+    entry_fn = b.make_function(
+        "entry",
+        "func",
+        [TensorType("float64", (n, n)), TensorType("float64", (n, n))],
+        [TensorType("float64", (n, n))],
+    )
+    b.push_block(entry_fn.body)
+    fout = b.wrap(entry_fn.body.args[0], ft)
+    fin = b.wrap(entry_fn.body.args[1], ft)
+    u0 = b.load(fin)
+    u1 = b.time_advance(
+        u0, 0.1, 2, system="heatA64", solver="gmres", tol=1e-12, max_iters=500
+    )
+    b.store(u1, fout)
+    b.return_([b.unwrap(fout)])
+    b.pop_block()
+
+    uin = np.sin(np.linspace(0, np.pi, n))[:, None] * np.cos(
+        np.linspace(0, np.pi, n)
+    )[None, :]
+    cm = compile_ir(b.module)
+    tpu_out = np.asarray(cm.function("entry")(np.zeros((n, n)), uin))
+    try:
+        nm = compile_native(b.module)
+        native_out = nm.function("entry")(np.zeros((n, n)), uin)
+        max_abs_diff = float(np.abs(tpu_out - native_out).max())
+        return {
+            "grid": f"{n}x{n} f64 implicit heat (GMRES tol 1e-12)",
+            "max_abs_diff_vs_native_cpp": max_abs_diff,
+            "within_1e-10": bool(max_abs_diff <= 1e-10),
+        }
+    except Exception as e:  # no C++ toolchain on the bench host
+        return {"skipped": f"native oracle unavailable: {type(e).__name__}: {e}"}
+
+
+def cg_mixed_entry():
+    """512^2 Poisson solved to 1e-10 relative: f32 Jacobi-CG inner rounds,
+    f64 residual refinement (solvers.refine). Requires jax_enable_x64."""
+    import jax
+    import jax.numpy as jnp
+
+    import neptune_tpu as ntp
+    from neptune_tpu.solvers.precond import safe_inv_diag
+    from neptune_tpu.solvers.refine import refined_solve
+
+    n = 512
+    tol = 1e-10
+    ntp.reset_context()
+
+    @ntp.linear_op_def(
+        bounds=([0, 0], [n, n]),
+        interior=([1, 1], [n - 1, n - 1]),
+        dtype="float64",
+        name="poisson64",
+    )
+    def poisson64(u):
+        return 4.0 * u[0, 0] - u[-1, 0] - u[1, 0] - u[0, -1] - u[0, 1]
+
+    cm = ntp.get_context().compiled()
+    H = ntp.assemble_matrix(poisson64)
+    lo = cm.low_precision_opdef("poisson64")
+    inv32 = jnp.asarray(safe_inv_diag(H.diagonal()), jnp.float32)
+
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal((n, n)))
+
+    @jax.jit
+    def solve(bb):
+        return refined_solve(
+            H.matvec,
+            lo,
+            bb,
+            solver="cg",
+            tol=tol,
+            inner_tol=1e-4,
+            inner_iters=6000,
+            M_lo=lambda v: v * inv32,
+        )
+
+    x, info = solve(b)
+    _ = float(jnp.sum(x))
+    t0 = time.perf_counter()
+    x, info = solve(b)
+    _ = float(jnp.sum(x))
+    total = time.perf_counter() - t0
+    bnorm = float(jnp.linalg.norm(b))
+    return {
+        "rounds": int(info.rounds),
+        "inner_iters": int(info.inner_iters),
+        "sec_per_solve": total,
+        "inner_iters_per_sec": int(info.inner_iters) / total,
+        "rel_resnorm": float(info.resnorm) / bnorm,
+        "converged": bool(info.converged),
+        "tol": tol,
+        "kernel": "mixed-precision refinement (f32 CG inner, f64 residual)",
+    }
 
 
 if __name__ == "__main__":
