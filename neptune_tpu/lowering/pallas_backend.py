@@ -47,15 +47,16 @@ def _on_tpu() -> bool:
         return False
 
 
-def _pick_slab(extent0: int, row_bytes: int, n_copies: int) -> int:
-    """Largest multiple-of-8 slab height whose working set fits the budget."""
+def _pick_slab(extent0: int, row_bytes: int, n_copies: int, align: int = 8) -> int:
+    """Largest align-multiple slab height whose working set fits the budget
+    (align = the dtype's sublane tile: 8 for f32, 16 for bf16)."""
     # working set ≈ (n_copies inputs + out + iota/mask/ext temps) * slab rows
     denom = (n_copies + 8) * row_bytes
-    s = max(8, _VMEM_BUDGET // max(denom, 1))
+    s = max(align, _VMEM_BUDGET // max(denom, 1))
     s = min(s, extent0)
-    s = max(8, (s // 8) * 8)
+    s = max(align, (s // align) * align)
     # prefer a divisor of extent0 to avoid padded tail blocks
-    for cand in range(s, 7, -8):
+    for cand in range(s, align - 1, -align):
         if extent0 % cand == 0:
             return cand
     return min(s, extent0)
@@ -117,8 +118,12 @@ def _dma_profitable(op: Operation) -> bool:
     sshape: StencilShape = op.attrs.get("shape") or StencilShape(())
     if not sshape.offsets:
         return False
-    # the edge-window correction is a *dynamic* dim-0 rotate, which Mosaic
-    # only supports for 32-bit data; bf16 wide stencils stay on multi-copy
+    # bf16 is *supported* by the DMA kernel (static slice+concat edge
+    # correction — Mosaic's dynamic rotate is 32-bit-only) but measured
+    # slower than multi-copy on v5e (4th-order advection 4096²: 48.5 vs
+    # 73.8 Gcell/s): 2-byte reads halve the multi-copy amplification
+    # penalty while the branched correction costs vector ops. Routed to
+    # multi-copy for speed; docs/PERFORMANCE.md records the numbers.
     if jnp.dtype(op.results[0].type.element).itemsize != 4:
         return False
     h0 = max(sshape.halo()[0])
@@ -335,15 +340,17 @@ def _execute_dma(op: Operation, operand_arrays, *, interpret: bool):
 
     sshape: StencilShape = op.attrs.get("shape") or StencilShape(())
     h0 = max(sshape.halo()[0])
-    # Mosaic requires 8-aligned (sublane) buffer shapes: pad the window halo
-    # up to 8 rows each side so win = slab + 16 stays a multiple of 8
-    h0p = ((h0 + 7) // 8) * 8
-    if h0 > 8:
-        raise NotImplementedError("dma kernel supports dim-0 halo <= 8")
+    # Mosaic requires sublane-tile-aligned buffer shapes and slice starts:
+    # 8 rows for 32-bit data, 16 for bf16. Pad the window halo up to one
+    # tile each side so win = slab + 2*h0p stays aligned.
+    al = 8 if dtype.itemsize == 4 else 16
+    h0p = ((h0 + al - 1) // al) * al
+    if h0 > al:
+        raise NotImplementedError(f"dma kernel supports dim-0 halo <= {al}")
 
     row_bytes = math.prod(shape[1:]) * dtype.itemsize
     # working set: n_in double-buffered windows + out block + temps
-    slab = _pick_slab(shape[0], row_bytes, 2 * n_in + 2)
+    slab = _pick_slab(shape[0], row_bytes, 2 * n_in + 2, align=al)
     if shape[0] % slab != 0:
         raise NotImplementedError("dma kernel requires dim0 divisible by slab")
     n_slabs = shape[0] // slab
@@ -365,14 +372,14 @@ def _execute_dma(op: Operation, operand_arrays, *, interpret: bool):
         i = pl.program_id(0)
 
         def window_start(step):
-            # slab, h0p, and shape[0]-win are all multiples of 8, so the
-            # clamped start is too — pl.multiple_of carries the proof Mosaic
-            # needs for the tiled HBM slice
+            # slab, h0p, and shape[0]-win are all multiples of the sublane
+            # tile, so the clamped start is too — pl.multiple_of carries the
+            # proof Mosaic needs for the tiled HBM slice
             ideal = step * slab - h0p
             w = jnp.clip(ideal, jnp.int32(0), jnp.int32(shape[0] - win)).astype(
                 jnp.int32
             )
-            return pl.multiple_of(w, 8)
+            return pl.multiple_of(w, al)
 
         def start_fetch(step, slot):
             for k in range(n_in):
@@ -404,21 +411,44 @@ def _execute_dma(op: Operation, operand_arrays, *, interpret: bool):
 
         w = window_start(i)
         slot = i % 2
-        # Ideal window start is i*slab - h0; at the first/last slabs clamping
-        # shifts it by delta ∈ [-h0, h0]. Mosaic requires static (8-aligned)
-        # sublane slice starts, so instead of dynamic slicing we load the
-        # whole window and roll it by -delta (dynamic_rotate supports traced
-        # shifts): after the roll, scratch row (h0 + o0 + r) is global row
-        # (i*slab + r + o0). Wrapped rows fall in the unspecified out-of-
-        # domain zone and are masked by the copy-through select.
+        # Ideal window start is i*slab - h0p; clamping shifts it only at the
+        # first slab (delta = -h0p) and last slab (delta = +h0p) — slab >=
+        # h0p guarantees interior slabs never clamp. The window must be
+        # rotated by -delta so scratch row (h0p + o0 + r) is global row
+        # (i*slab + r + o0); wrapped rows fall in the unspecified out-of-
+        # domain zone and are masked by the copy-through select. 32-bit data
+        # uses Mosaic's dynamic rotate; bf16 (no narrow-dtype rotate in
+        # Mosaic) branches on the grid position to *static* slice+concat
+        # shifts of ±h0p, which are sublane-aligned by construction.
         delta = (i * slab - jnp.int32(h0p)) - w
+
+        def _static_rotate(v, k_shift):
+            k_shift %= win
+            if k_shift == 0:
+                return v
+            lo = jax.lax.slice_in_dim(v, k_shift, win, axis=0)
+            hi = jax.lax.slice_in_dim(v, 0, k_shift, axis=0)
+            return jnp.concatenate([lo, hi], axis=0)
 
         ext_cache: dict = {}
 
         def ext(k):
             if k not in ext_cache:
                 v = scratches[k][slot]
-                v = pltpu.roll(v, ((-delta) % win).astype(jnp.int32), axis=0)
+                if dtype.itemsize == 4:
+                    v = pltpu.roll(v, ((-delta) % win).astype(jnp.int32), axis=0)
+                else:
+                    v = jax.lax.cond(
+                        i == 0,
+                        lambda u: _static_rotate(u, win - h0p),  # delta=-h0p
+                        lambda u: jax.lax.cond(
+                            i == n_slabs - 1,
+                            lambda t: _static_rotate(t, h0p),  # delta=+h0p
+                            lambda t: t,
+                            u,
+                        ),
+                        v,
+                    )
                 ext_cache[k] = v
             return ext_cache[k]
 
@@ -426,8 +456,7 @@ def _execute_dma(op: Operation, operand_arrays, *, interpret: bool):
             o0 = offset[0]
             sl = jax.lax.slice_in_dim(ext(k), h0p + o0, h0p + o0 + slab, axis=0)
             for d in range(1, rank):
-                if offset[d] != 0:
-                    sl = pltpu.roll(sl, jnp.int32((-offset[d]) % shape[d]), axis=d)
+                sl = _wrap_shift(sl, d, offset[d], shape[d])
             return sl
 
         def index_fn(d):

@@ -33,8 +33,12 @@ def initialize_multihost(
             )
         elif jax.process_count() == 1 and _looks_like_pod():
             jax.distributed.initialize()
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        # calling twice is fine (idempotent join); anything else — bad
+        # coordinator, port clash, heartbeat failure — must surface, not
+        # silently leave the process single-host
+        if "already initialized" not in str(e).lower():
+            raise
     return len(jax.devices())
 
 

@@ -179,3 +179,55 @@ class TestBf16:
         a = np.asarray(build("jnp", "a")(x)).astype(np.float32)
         b = np.asarray(build("pallas", "b")(x)).astype(np.float32)
         np.testing.assert_allclose(a, b, atol=1e-2)
+
+
+class TestDmaWindowKernel:
+    """The rolling-window DMA kernel (`pallas_backend._execute_dma`) —
+    exercised directly in interpret mode for both dtypes. bf16 is not
+    routed here by `_dma_profitable` (multi-copy measures faster on v5e,
+    docs/PERFORMANCE.md) but its edge-window correction must stay correct."""
+
+    def _adv4_op(self, dtype, n=64, m=128):
+        @ntp.nonlinear_op_def(
+            bounds=([0, 0], [n, m]),
+            interior=([2, 2], [n - 2, m - 2]),
+            dtype=dtype,
+            name="adv4",
+        )
+        def adv4(u):
+            dudx = (-u[2, 0] + 8.0 * u[1, 0] - 8.0 * u[-1, 0] + u[-2, 0]) / 12.0
+            dudy = (-u[0, 2] + 8.0 * u[0, 1] - 8.0 * u[0, -1] + u[0, -2]) / 12.0
+            return u[0, 0] - 0.1 * (0.7 * dudx + 0.3 * dudy)
+
+        cm = ntp.get_context().compiled()
+        fn = cm.module.lookup("adv4")
+        return [o for o in fn.body.ops if o.name == "neptune.apply"][0]
+
+    @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+    def test_dma_matches_jnp(self, dtype, monkeypatch):
+        import jax.numpy as jnp
+
+        from neptune_tpu.lowering import jnp_backend, pallas_backend
+
+        # shrink the slab budget so the 64-row grid splits into several
+        # slabs — the first/last slabs take the clamped edge-correction
+        # branches, interior slabs the no-shift branch
+        monkeypatch.setattr(pallas_backend, "_VMEM_BUDGET", 64 * 1024)
+        op = self._adv4_op(dtype)
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((64, 128)), jnp.dtype(dtype)
+        )
+        got = np.asarray(
+            pallas_backend._execute_dma(op, (x,), interpret=True), np.float32
+        )
+        want = np.asarray(jnp_backend.execute_apply(op, (x,)), np.float32)
+        # 1-ulp tolerance: interpret-on-CPU fuses the two graphs' multiply-
+        # adds differently (on real TPU the paths match exactly)
+        np.testing.assert_allclose(got, want, atol=1e-6, rtol=0)
+
+    def test_bf16_not_dma_routed(self):
+        from neptune_tpu.lowering import pallas_backend
+
+        assert pallas_backend._dma_profitable(self._adv4_op("float32"))
+        ntp.reset_context()
+        assert not pallas_backend._dma_profitable(self._adv4_op("bfloat16"))
