@@ -151,6 +151,19 @@ def full_suite():
         "frac_of_hbm_roofline": (m**3 / dt) / ROOFLINE_CELLS,
     }
 
+    # config 2b: 3-D temporal blocking — K=8 sweeps per HBM pass on 256³
+    # (whole (N1,N2) planes per window row; VPU-bound at ~2x window
+    # recompute, lands just past the single-sweep HBM roofline)
+    make_heat_3d(m)
+    fused3d = ntp.get_context().compiled().sweeps("heat", 8)
+    dt = timed_sweep(fused3d, x3, 4, 12)  # dt per 8-sweep fused call
+    results["heat_3d_256_temporal_k8"] = {
+        "us_per_sweep": dt / 8 * 1e6,
+        "gcell_per_s": m**3 * 8 / dt / 1e9,
+        "frac_of_single_sweep_roofline": (m**3 * 8 / dt) / ROOFLINE_CELLS,
+        "kernel": "rank-3 temporal-blocking multisweep (K=8 per HBM pass)",
+    }
+
     # config 3: 4th-order advection (wide stencil)
     n = 1024
     dt = timed_sweep(make_advection_2d(n), x, 300, 1500)

@@ -102,8 +102,8 @@ class CompiledModule:
         a k*h-deep halo window and relaxed k times VMEM-resident, beating
         the single-sweep bandwidth roofline by ~k/(1 + k*h/slab); grids
         that fit VMEM whole (including periodic domains) take the resident
-        variant instead. Ineligible operators (f64, rank != 2, composite
-        bodies) fall back to a `lax.fori_loop` of single applies.
+        variant instead. Ineligible operators (f64, rank not in (2, 3),
+        composite bodies) fall back to a `lax.fori_loop` of single applies.
         """
         from . import pallas_backend, pallas_multisweep
 

@@ -490,7 +490,7 @@ def _execute_dma(op: Operation, operand_arrays, *, interpret: bool):
                     seed = jnp.zeros((slab,) + shape[1:], dtype)
                 out_refs[j][...] = jnp.where(mask, val, seed)
 
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(n_in)]
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_in)]
     for _ in scalars:
         in_specs.append(
             pl.BlockSpec(

@@ -40,9 +40,12 @@ Mechanics (built on the rolling-window DMA machinery of
     construction guarantees. Dim 1 stays whole in VMEM, so there is no
     dim-1 creep (edge wrap lands in boundary-masked columns).
 
-Scope: rank-2, float32, single-input/single-output, non-periodic applies
-(periodic wrap needs a modular window; it falls back to K separate
-multi-copy-kernel sweeps, which do handle torus domains).
+Scope: rank-2 and rank-3, float32, single-input/single-output, non-periodic
+applies (periodic wrap needs a modular window; it falls back to K separate
+multi-copy-kernel sweeps, which do handle torus domains). Rank-3 windows
+hold whole (N1, N2) planes per dim-0 row, so their working set is large:
+they run under a raised Mosaic scoped-vmem limit with small slabs, trading
+window-recompute overhead (win/slab ≤ 3) for the K-fold HBM saving.
 """
 
 from __future__ import annotations
@@ -73,9 +76,9 @@ def find_sweep_apply(
 
     Returns None (caller falls back to K separate sweeps) unless the opdef
     body is exactly one self-shaped apply: one temp input, one result,
-    float32, rank 2, with a nonzero dim-0 halo. Periodic operators are only
-    eligible for the VMEM-resident kernel (whose rolls ARE torus wrap), so
-    they are rejected unless allow_periodic.
+    float32, rank 2 or 3, with a nonzero dim-0 halo. Periodic operators are
+    only eligible for the VMEM-resident kernel (whose rolls ARE torus wrap),
+    so they are rejected unless allow_periodic.
     """
     fn = module.lookup(name)
     if not getattr(fn, "is_opdef", False):
@@ -100,7 +103,7 @@ def find_sweep_apply(
     out_type: TempType = apply_op.results[0].type
     if out_type.element != "float32":  # rolls need 32-bit; f64 is jnp-only
         return None
-    if out_type.bounds.rank != 2:
+    if out_type.bounds.rank not in (2, 3):
         return None
     if apply_op.attrs.get("periodic") and not allow_periodic:
         return None
@@ -120,17 +123,29 @@ def find_sweep_apply(
     sshape: StencilShape = apply_op.attrs.get("shape") or StencilShape(())
     if not sshape.offsets:
         return None
-    h0, h1 = (max(h) for h in sshape.halo())
+    halos = [max(h) for h in sshape.halo()]
     shp = out_type.bounds.shape
-    if h0 < 1 or h0 >= shp[0] or h1 >= shp[1]:
+    if halos[0] < 1:
+        return None
+    if any(h >= s for h, s in zip(halos, shp)):
         return None
     return apply_op
 
 
-def _pick_slab(extent0: int, row_bytes: int, hp: int) -> Optional[int]:
+# rank-3 windows hold whole (N1, N2) planes per row; they need Mosaic's
+# scoped-vmem limit raised (v5e: 128MB physical; 64MB requested) and a
+# budget sized so 256^3 f32 (256KB per dim-0 row) gets a 16-row slab
+_VMEM_BUDGET_3D = 48 * 1024 * 1024
+
+
+def _pick_slab(extent0: int, row_bytes: int, hp: int, rank: int) -> Optional[int]:
     """Largest 8-aligned divisor of extent0 fitting the window working set:
     2 scratch windows + ~3 live window values + 2 out blocks."""
-    s = (_VMEM_BUDGET // max(row_bytes, 1) - 10 * hp) // 7
+    if rank == 2:
+        s = (_VMEM_BUDGET // max(row_bytes, 1) - 10 * hp) // 7
+    else:
+        # (5*win + 2*slab) * row_bytes <= budget, win = slab + 2*hp
+        s = (_VMEM_BUDGET_3D // max(row_bytes, 1) - 10 * hp) // 7
     # the window (slab + 2*hp rows) must fit inside the array
     s = min((s // 8) * 8, extent0 - 2 * hp)
     for cand in range(s, 7, -8):
@@ -146,18 +161,23 @@ def sweeps_plan(module: Module, name: str, k: int) -> Optional[dict]:
         return None
     out_type: TempType = op.results[0].type
     shape = out_type.bounds.shape
+    rank = len(shape)
     sshape: StencilShape = op.attrs["shape"]
     h0 = max(sshape.halo()[0])
     hp = ((k * h0 + 7) // 8) * 8
     if hp > _MAX_HP:
         return None
     dtype = jnp.dtype(out_type.element)
-    row_bytes = shape[1] * dtype.itemsize
-    slab = _pick_slab(shape[0], row_bytes, hp)
+    row_bytes = math.prod(shape[1:]) * dtype.itemsize
+    slab = _pick_slab(shape[0], row_bytes, hp, rank)
     if slab is None:
         return None
     win = slab + 2 * hp
-    if win > shape[0] or shape[1] < 128 or math.prod(shape) < 64 * 128:
+    # interior slabs must never hit the window clamp (edge repair assumes
+    # only the first/last slab shift), which needs slab >= hp
+    if win > shape[0] or slab < hp:
+        return None
+    if shape[-1] < 128 or math.prod(shape) < 64 * 128:
         return None
     return {"op": op, "slab": slab, "hp": hp, "win": win, "h0": h0}
 
@@ -177,7 +197,7 @@ def resident_plan(module: Module, name: str, k: int) -> Optional[Operation]:
         return None
     out_type: TempType = op.results[0].type
     shape = out_type.bounds.shape
-    if math.prod(shape) < 64 * 128 or shape[1] < 128:
+    if math.prod(shape) < 64 * 128 or shape[-1] < 128:
         return None
     if math.prod(shape) * jnp.dtype(out_type.element).itemsize > _RESIDENT_BYTES:
         return None
@@ -205,6 +225,7 @@ def execute_sweeps_resident(
     bounds: Bounds = op.attrs["bounds"]
     outer = out_type.bounds
     shape = outer.shape
+    rank = len(shape)
     dtype = jnp.dtype(out_type.element)
     body = op.region(0)
     full_domain = bounds == outer
@@ -219,7 +240,7 @@ def execute_sweeps_resident(
             mask = None
         else:
             m = None
-            for d in (0, 1):
+            for d in range(rank):
                 iv = jax.lax.broadcasted_iota(jnp.int32, shape, d) + outer.lb[d]
                 md = (iv >= bounds.lb[d]) & (iv < bounds.ub[d])
                 m = md if m is None else (m & md)
@@ -237,7 +258,7 @@ def execute_sweeps_resident(
 
             def access_fn(_k, offset, src=src):
                 s = src
-                for d in (0, 1):
+                for d in range(rank):
                     if offset[d]:
                         s = pltpu.roll(
                             s, jnp.int32((-offset[d]) % shape[d]), axis=d
@@ -245,13 +266,16 @@ def execute_sweeps_resident(
                 return s
 
             y = jnp_backend.eval_scalar_dag(
-                body, 2, 1, access_fn, index_fn, scalar_vals
+                body, rank, 1, access_fn, index_fn, scalar_vals
             )[0]
             y = jnp.broadcast_to(jnp.asarray(y, dtype), shape)
             v = y if mask is None else jnp.where(mask, y, src)
         out_ref[...] = v
 
-    in_specs = [pl.BlockSpec(shape, lambda: (0, 0), memory_space=pltpu.VMEM)]
+    zeros = (0,) * rank
+    in_specs = [
+        pl.BlockSpec(shape, lambda: zeros, memory_space=pltpu.VMEM)
+    ]
     for _ in range(n_scalars):
         in_specs.append(
             pl.BlockSpec((1, 1), lambda: (0, 0), memory_space=pltpu.SMEM)
@@ -267,7 +291,7 @@ def execute_sweeps_resident(
     return pl.pallas_call(
         kernel,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(shape, lambda: (0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(shape, lambda: zeros, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(shape, dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_offsets * k * math.prod(shape),
@@ -296,13 +320,25 @@ def best_depth(module: Module, name: str, k: int) -> Optional[int]:
     op = find_sweep_apply(module, name)
     if op is None or k < 2:
         return None
+    rank = op.results[0].type.bounds.rank
     h0 = max(op.attrs["shape"].halo()[0])
     cap = min(k, _MAX_HP // max(h0, 1))
     divisors = [d for d in range(cap, 1, -1) if k % d == 0]
     rest = [d for d in range(cap, 1, -1) if k % d != 0]
     for d in divisors + rest:
         plan = sweeps_plan(module, name, d)
-        if plan is not None and plan["slab"] >= 4 * plan["hp"]:
+        if plan is None:
+            continue
+        # rank 2: slab >= 4*hp keeps window-recompute overhead <= 1.5x
+        # (measured, see docstring). rank 3: slabs are necessarily small
+        # (whole planes per row), so accept up to 2x recompute — the
+        # K-fold HBM saving dominates.
+        ok = (
+            plan["slab"] >= 4 * plan["hp"]
+            if rank == 2
+            else plan["win"] <= 2 * plan["slab"]
+        )
+        if ok:
             return d
     return None
 
@@ -333,6 +369,8 @@ def execute_sweeps(
     bounds: Bounds = op.attrs["bounds"]
     outer = out_type.bounds
     shape = outer.shape
+    rank = len(shape)
+    wshape = (win,) + shape[1:]
     dtype = jnp.dtype(out_type.element)
     n_slabs = shape[0] // slab
     body = op.region(0)
@@ -343,7 +381,7 @@ def execute_sweeps(
         hbm_ref = refs[0]
         scalar_refs = refs[1 : 1 + n_scalars]
         out_ref = refs[1 + n_scalars]
-        scratch = refs[2 + n_scalars]  # (2, win, N1) VMEM
+        scratch = refs[2 + n_scalars]  # (2,) + wshape VMEM
         sems = refs[3 + n_scalars]  # (2,) DMA semaphores
 
         i = pl.program_id(0)
@@ -385,25 +423,20 @@ def execute_sweeps(
         v = scratch[i % 2]
         v = pltpu.roll(v, ((-delta) % win).astype(jnp.int32), axis=0)
 
-        row_g = (
-            jax.lax.broadcasted_iota(jnp.int32, (win, shape[1]), 0)
-            + i * slab
-            - jnp.int32(hp)
-            + outer.lb[0]
-        )
-        col_g = (
-            jax.lax.broadcasted_iota(jnp.int32, (win, shape[1]), 1)
-            + outer.lb[1]
-        )
+        def global_iota(d):
+            iv = jax.lax.broadcasted_iota(jnp.int32, wshape, d)
+            if d == 0:
+                return iv + i * slab - jnp.int32(hp) + outer.lb[0]
+            return iv + outer.lb[d]
+
         if full_domain:
             mask = None
         else:
-            mask = (
-                (row_g >= bounds.lb[0])
-                & (row_g < bounds.ub[0])
-                & (col_g >= bounds.lb[1])
-                & (col_g < bounds.ub[1])
-            )
+            mask = None
+            for d in range(rank):
+                iv = global_iota(d)
+                md = (iv >= bounds.lb[d]) & (iv < bounds.ub[d])
+                mask = md if mask is None else (mask & md)
 
         scalar_vals = [r[0, 0] for r in scalar_refs]
 
@@ -412,21 +445,18 @@ def execute_sweeps(
 
             def access_fn(_k, offset, src=src):
                 s = src
-                if offset[0]:
-                    s = pltpu.roll(s, jnp.int32((-offset[0]) % win), axis=0)
-                if offset[1]:
-                    s = pltpu.roll(
-                        s, jnp.int32((-offset[1]) % shape[1]), axis=1
-                    )
+                for d in range(rank):
+                    if offset[d]:
+                        size = win if d == 0 else shape[d]
+                        s = pltpu.roll(
+                            s, jnp.int32((-offset[d]) % size), axis=d
+                        )
                 return s
 
-            def index_fn(d):
-                return row_g if d == 0 else col_g
-
             y = jnp_backend.eval_scalar_dag(
-                body, 2, 1, access_fn, index_fn, scalar_vals
+                body, rank, 1, access_fn, global_iota, scalar_vals
             )[0]
-            y = jnp.broadcast_to(jnp.asarray(y, dtype), (win, shape[1]))
+            y = jnp.broadcast_to(jnp.asarray(y, dtype), wshape)
             v = y if mask is None else jnp.where(mask, y, src)
 
         out_ref[...] = jax.lax.slice_in_dim(v, hp, hp + slab, axis=0)
@@ -441,12 +471,12 @@ def execute_sweeps(
             )
         )
     out_spec = pl.BlockSpec(
-        (slab, shape[1]),
-        lambda i: (jnp.asarray(i, jnp.int32), jnp.int32(0)),
+        (slab,) + shape[1:],
+        lambda i: (jnp.asarray(i, jnp.int32),) + (jnp.int32(0),) * (rank - 1),
         memory_space=pltpu.VMEM,
     )
     scratch_shapes = [
-        pltpu.VMEM((2, win, shape[1]), dtype),
+        pltpu.VMEM((2,) + wshape, dtype),
         pltpu.SemaphoreType.DMA((2,)),
     ]
 
@@ -460,7 +490,7 @@ def execute_sweeps(
     call_inputs = [jnp.asarray(x, dtype)]
     call_inputs.extend(jnp.asarray(s).reshape(1, 1) for s in scalars)
     kwargs = {}
-    est_bytes = shape[1] * dtype.itemsize * (7 * slab + 10 * hp)
+    est_bytes = math.prod(shape[1:]) * dtype.itemsize * (7 * slab + 10 * hp)
     if not interpret and est_bytes > 14 * 1024 * 1024:
         # only when the working set would overflow Mosaic's default 16MB
         # scoped-vmem stack (v5e has 128MB per core); measured on v5e the

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import PartitionSpec
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from .mesh import GridMesh
 
@@ -114,7 +114,7 @@ def sharded_stencil(
             mesh=gmesh.mesh,
             in_specs=(spec,),
             out_specs=spec,
-            check_rep=False,
+            check_vma=False,
         )(u)
 
     return global_fn

@@ -20,7 +20,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ir.core import Module, Operation
 from ..ir.types import Bounds, TempType
@@ -206,7 +206,7 @@ def shardmap_opdef(
             mesh=gmesh.mesh,
             in_specs=(spec,) * n_args,
             out_specs=(spec,) * n_out if n_out > 1 else spec,
-            check_rep=False,
+            check_vma=False,
         )(*arrays)
 
     return global_fn

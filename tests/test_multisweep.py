@@ -287,3 +287,75 @@ def test_dsl_sweeps_rejects_traced_mode():
     finally:
         ctx.current_function = None
         ctx.module.functions.pop("dummy_trace", None)
+
+
+def jacobi_module_3d(n0, n1, n2, offsets_coefs, *, periodic=False):
+    """Rank-3 variant of jacobi_module (7-pt heat style)."""
+    b = NeptuneBuilder()
+    bounds = Bounds.of((0, 0, 0), (n0, n1, n2))
+    tt = TempType("float32", bounds)
+    fn = b.make_opdef("op", "nonlinear_opdef", [tt], [tt])
+    b.push_block(fn.body)
+    h = [max(abs(o[d]) for o, _ in offsets_coefs) for d in (0, 1, 2)]
+    interior = bounds if periodic else Bounds.of(
+        (h[0], h[1], h[2]), (n0 - h[0], n1 - h[1], n2 - h[2])
+    )
+    op, body = b.start_apply([fn.body.args[0]], interior, periodic=periodic)
+    b.push_block(body)
+    acc = None
+    for off, c in offsets_coefs:
+        t = b.mul(b.access(body.args[3], off), b.constant(c, F32))
+        acc = t if acc is None else b.add(acc, t)
+    b.yield_(acc)
+    b.pop_block()
+    b.return_([b.finish_apply(op)])
+    b.pop_block()
+    return b.module
+
+
+SEVEN_POINT = [((0, 0, 0), 0.4), ((-1, 0, 0), 0.1), ((1, 0, 0), 0.1),
+               ((0, -1, 0), 0.1), ((0, 1, 0), 0.1),
+               ((0, 0, -1), 0.1), ((0, 0, 1), 0.1)]
+
+
+class TestFusedSweeps3D:
+    @pytest.mark.parametrize("k", [2, 4])
+    def test_seven_point_windowed(self, k):
+        # 96*64*256 f32 = 6MB: too big for the resident variant, takes the
+        # slab-windowed kernel with whole (N1, N2) planes per window row
+        m = jacobi_module_3d(96, 64, 256, SEVEN_POINT)
+        cm = compile_ir(m, backend="auto")
+        assert pallas_multisweep.resident_plan(cm.module, "op", k) is None
+        assert pallas_multisweep.sweeps_plan(cm.module, "op", k) is not None
+        run_both(m, (96, 64, 256), k)
+
+    def test_seven_point_resident(self):
+        # 32*32*128 f32 = 512KB: whole grid VMEM-resident
+        m = jacobi_module_3d(32, 32, 128, SEVEN_POINT)
+        cm = compile_ir(m, backend="auto")
+        assert pallas_multisweep.resident_plan(cm.module, "op", 4) is not None
+        run_both(m, (32, 32, 128), 4)
+
+    def test_periodic_3d_resident(self):
+        m = jacobi_module_3d(32, 32, 128, SEVEN_POINT, periodic=True)
+        cm = compile_ir(m, backend="auto")
+        assert pallas_multisweep.resident_plan(cm.module, "op", 3) is not None
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal((32, 32, 128)).astype(np.float32)
+        one = cm.opdef("op")
+        y_ref = x
+        for _ in range(3):
+            y_ref = np.asarray(one(y_ref), np.float32)
+        config.pallas_interpret = True
+        try:
+            y = np.asarray(cm.sweeps("op", 3)(x))
+        finally:
+            config.pallas_interpret = False
+        np.testing.assert_allclose(y, y_ref, atol=1e-5)
+
+    def test_wide_halo_3d(self):
+        offs = [((0, 0, 0), 0.5), ((-2, 0, 0), 0.1), ((2, 0, 0), 0.1),
+                ((0, -1, 0), 0.1), ((0, 1, 0), 0.1),
+                ((0, 0, -2), 0.1), ((0, 0, 2), 0.1)]
+        m = jacobi_module_3d(96, 64, 256, offs)
+        run_both(m, (96, 64, 256), 3)
