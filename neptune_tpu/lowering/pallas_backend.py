@@ -108,9 +108,12 @@ def try_execute_apply(op: Operation, operand_arrays: Sequence) -> Optional[objec
 def _dma_profitable(op: Operation) -> bool:
     """The rolling-window DMA kernel pays off when the multi-copy path's
     (2h+1)x dim-0 read amplification bites: wide dim-0 halos (measured on
-    v5e: 4th-order advection 74 -> 86 Gcell/s). For h0 == 1 the multi-copy
-    path's Mosaic-pipelined block fetches win (87 vs 68 Gcell/s at 4096^2),
-    so narrow stencils stay on it."""
+    v5e: 4th-order advection 74 -> 86 Gcell/s). For rank-2 h0 == 1 the
+    multi-copy path's Mosaic-pipelined block fetches win (87 vs 68 Gcell/s
+    at 4096^2), so narrow rank-2 stencils stay on it. Rank 3 always prefers
+    the DMA kernel: the (N1, N2)-plane rows force tiny multi-copy slabs
+    (3x read amplification, ~70% of roofline at 256^3), while the
+    dims-0-1-collapsed rolling window reads each row ~1.1x (measured ~93%)."""
     if op.attrs.get("periodic"):
         # the DMA window clamps at the domain edge; periodic wrap needs the
         # multi-copy path's modular block index maps
@@ -126,6 +129,8 @@ def _dma_profitable(op: Operation) -> bool:
     # multi-copy for speed; docs/PERFORMANCE.md records the numbers.
     if jnp.dtype(op.results[0].type.element).itemsize != 4:
         return False
+    if op.results[0].type.bounds.rank == 3:
+        return True
     h0 = max(sshape.halo()[0])
     return 2 <= h0 <= 8
 
@@ -327,6 +332,25 @@ def _execute(op: Operation, operand_arrays, *, interpret: bool):
 # ---------------------------------------------------------------------------
 
 
+def _pick_slab_collapsed(extent0: int, row_bytes: int, n_in: int,
+                         n_results: int, h0p: int, al: int,
+                         budget: int = 24 * 1024 * 1024) -> Optional[int]:
+    """Largest slab (multiple of al, divisor of extent0, >= h0p) whose
+    double-buffered windows + out blocks fit the raised scoped-vmem budget,
+    capped near a ~4MB out block — bigger slabs measure slower (less
+    pipeline overlap: 16/32/64-plane slabs at 256^3 gave 83/75/69 Gcell/s),
+    smaller ones pay more window-halo re-reads."""
+    target = max(h0p, al, (4 * 1024 * 1024 // max(row_bytes, 1)))
+    s = (min(extent0, target) // al) * al
+    for cand in range(s, al - 1, -al):
+        if extent0 % cand or cand < h0p or cand + 2 * h0p > extent0:
+            continue
+        ws = (2 * n_in * (cand + 2 * h0p) + n_results * cand) * row_bytes
+        if ws <= budget:
+            return cand
+    return None
+
+
 def _execute_dma(op: Operation, operand_arrays, *, interpret: bool):
     out_type: TempType = op.results[0].type
     n_in = op.attrs.get("num_inputs", len(op.operands))
@@ -339,63 +363,173 @@ def _execute_dma(op: Operation, operand_arrays, *, interpret: bool):
     dtype = jnp.dtype(out_type.element)
 
     sshape: StencilShape = op.attrs.get("shape") or StencilShape(())
-    h0 = max(sshape.halo()[0])
-    # Mosaic requires sublane-tile-aligned buffer shapes and slice starts:
-    # 8 rows for 32-bit data, 16 for bf16. Pad the window halo up to one
-    # tile each side so win = slab + 2*h0p stays aligned.
-    al = 8 if dtype.itemsize == 4 else 16
-    h0p = ((h0 + al - 1) // al) * al
-    if h0 > al:
-        raise NotImplementedError(f"dma kernel supports dim-0 halo <= {al}")
 
-    row_bytes = math.prod(shape[1:]) * dtype.itemsize
-    # working set: n_in double-buffered windows + out block + temps
-    slab = _pick_slab(shape[0], row_bytes, 2 * n_in + 2, align=al)
-    if shape[0] % slab != 0:
+    # Rank 3 keeps its natural (dim0, sublane=dim1, lane=dim2) layout and
+    # windows along dim 0, which Mosaic leaves UNTILED: window starts and
+    # dim-0 access slices need no sublane alignment, so the halo pad is
+    # exactly the stencil halo (h0p = h0, e.g. 1 plane for a 7-pt) and the
+    # rolling window reads each plane ~(1 + 2*h0/slab)x — vs 3x for the
+    # multi-copy path whose (N1,N2)-plane rows force tiny slabs, and vs a
+    # dims-0-1-collapsed rank-2 window whose j+-1 accesses land on
+    # misaligned sublanes (measured: native 95 / collapsed 72 / multi-copy
+    # 71 Gcell/s on the 256^3 7-pt sweep).
+    if rank == 3:
+        h0 = max(sshape.halo()[0])
+        kshape = shape
+        al = 1  # dim 0 is untiled — any window start/halo is legal
+        h0p = h0
+    else:
+        h0 = max(sshape.halo()[0])
+        kshape = shape
+        # Mosaic requires sublane-tile-aligned buffer shapes and slice
+        # starts on the second-minor dim: 8 rows for 32-bit data, 16 for
+        # bf16. Pad the window halo up to a tile multiple each side so
+        # win = slab + 2*h0p stays aligned.
+        al = 8 if dtype.itemsize == 4 else 16
+        h0p = ((h0 + al - 1) // al) * al
+    krank = len(kshape)
+
+    row_bytes = math.prod(kshape[1:]) * dtype.itemsize
+    if rank == 3:
+        slab = _pick_slab_collapsed(
+            kshape[0], row_bytes, n_in, len(op.results), h0p, al,
+            budget=40 * 1024 * 1024,
+        )
+        if slab is None:
+            raise NotImplementedError("no feasible slab for rank-3 window")
+    else:
+        # working set: n_in double-buffered windows + out block + temps
+        slab = _pick_slab(kshape[0], row_bytes, 2 * n_in + 2, align=al)
+    if kshape[0] % slab != 0:
         raise NotImplementedError("dma kernel requires dim0 divisible by slab")
-    n_slabs = shape[0] // slab
+    if h0p > slab:
+        # interior windows would clamp; the edge-rotation correction only
+        # handles the first/last slab
+        raise NotImplementedError("dim-0 halo exceeds the slab height")
+    n_slabs = kshape[0] // slab
     win = slab + 2 * h0p
-    if win > shape[0]:
+    if win > kshape[0]:
         raise NotImplementedError("window exceeds array extent")
 
     body = op.region(0)
     n_results = len(op.results)
     full_domain = bounds == outer
 
+    # The copy-through mask is separable: an in-kernel per-cell rebuild
+    # (3 iotas + 6 compares per step) measured ~10% of the whole sweep.
+    # Instead, the trailing-dims (sublane/lane) interior mask is precomputed
+    # ONCE on host as a tiny i32 block fetched by the pipeline (constant
+    # block index -> one fetch for the whole grid), and the dim-0 mask — a
+    # scalar range test per slab — is pl.when-gated so only the first/last
+    # slabs that actually intersect the dim-0 boundary pay for it.
+    mask_trail = None
+    lb0p = ub0p = 0
+    if not full_domain:
+        import numpy as _np
+
+        mt = _np.ones(kshape[1:], _np.int32)
+        for d in range(1, rank):
+            idx = _np.arange(kshape[d]) + outer.lb[d]
+            md = (idx >= bounds.lb[d]) & (idx < bounds.ub[d])
+            mt *= md.astype(_np.int32).reshape(
+                (1,) * (d - 1) + (-1,) + (1,) * (rank - 1 - d)
+            )
+        mask_trail = jnp.asarray(mt)
+        lb0p = bounds.lb[0] - outer.lb[0]
+        ub0p = bounds.ub[0] - outer.lb[0]
+    n_mask = 0 if mask_trail is None else 1
+
     def kernel(*refs):
         hbm_refs = refs[:n_in]
         scalar_refs = refs[n_in : n_in + len(scalars)]
-        out_refs = refs[n_in + len(scalars) : n_in + len(scalars) + n_results]
-        scratches = refs[n_in + len(scalars) + n_results : -1]
+        mask_ref = refs[n_in + len(scalars)] if n_mask else None
+        out_refs = refs[
+            n_in + len(scalars) + n_mask : n_in + len(scalars) + n_mask + n_results
+        ]
+        scratches = refs[n_in + len(scalars) + n_mask + n_results : -1]
         sems = refs[-1]  # DMA semaphores, shape (n_in, 2)
 
         i = pl.program_id(0)
 
-        def window_start(step):
-            # slab, h0p, and shape[0]-win are all multiples of the sublane
-            # tile, so the clamped start is too — pl.multiple_of carries the
-            # proof Mosaic needs for the tiled HBM slice
-            ideal = step * slab - h0p
-            w = jnp.clip(ideal, jnp.int32(0), jnp.int32(shape[0] - win)).astype(
-                jnp.int32
-            )
-            return pl.multiple_of(w, al)
+        # Scratch row (h0p + r) always holds global row (step*slab + r).
+        # The ideal HBM window [step*slab - h0p, step*slab + slab + h0p)
+        # sticks out of the array only at the first and last slab; there a
+        # pl.when-branched PARTIAL copy lands the valid rows at the right
+        # scratch offset and leaves the sticking-out scratch rows stale —
+        # they alias reads whose original coordinates are outside the
+        # domain, which the copy-through mask discards. This keeps every
+        # step free of rotation/realignment work (a whole-window shuffle or
+        # copy per step measured 49 vs ~95 Gcell/s on the 256^3 collapsed
+        # sweep, and Mosaic cannot legalize lax.cond's select on windows).
+        edge_len = slab + h0p
 
         def start_fetch(step, slot):
-            for k in range(n_in):
-                pltpu.make_async_copy(
-                    hbm_refs[k].at[pl.ds(window_start(step), win)],
-                    scratches[k].at[slot],
-                    sems.at[k, slot],
-                ).start()
+            if h0p == 0:
+                for k in range(n_in):
+                    pltpu.make_async_copy(
+                        hbm_refs[k].at[pl.ds(pl.multiple_of(step * slab, al), win)],
+                        scratches[k].at[slot],
+                        sems.at[k, slot],
+                    ).start()
+                return
+            first = step == 0
+            last = step == n_slabs - 1
 
-        def wait_fetch(slot):
-            for k in range(n_in):
-                pltpu.make_async_copy(
-                    hbm_refs[k].at[pl.ds(jnp.int32(0), win)],
-                    scratches[k].at[slot],
-                    sems.at[k, slot],
-                ).wait()
+            @pl.when(first)
+            def _():
+                for k in range(n_in):
+                    pltpu.make_async_copy(
+                        hbm_refs[k].at[pl.ds(0, edge_len)],
+                        scratches[k].at[slot].at[pl.ds(h0p, edge_len)],
+                        sems.at[k, slot],
+                    ).start()
+
+            @pl.when(last & jnp.logical_not(first))
+            def _():
+                for k in range(n_in):
+                    pltpu.make_async_copy(
+                        hbm_refs[k].at[pl.ds(kshape[0] - edge_len, edge_len)],
+                        scratches[k].at[slot].at[pl.ds(0, edge_len)],
+                        sems.at[k, slot],
+                    ).start()
+
+            @pl.when(jnp.logical_not(first) & jnp.logical_not(last))
+            def _():
+                for k in range(n_in):
+                    start = pl.multiple_of(step * slab - h0p, al)
+                    pltpu.make_async_copy(
+                        hbm_refs[k].at[pl.ds(start, win)],
+                        scratches[k].at[slot],
+                        sems.at[k, slot],
+                    ).start()
+
+        def wait_fetch(step, slot):
+            # the wait descriptor must match the byte count of the copy that
+            # step `step` started into `slot` (edge steps copy edge_len rows)
+            if h0p == 0:
+                edge = None
+            else:
+                edge = (step == 0) | (step == n_slabs - 1)
+
+            def wait_rows(rows):
+                for k in range(n_in):
+                    pltpu.make_async_copy(
+                        hbm_refs[k].at[pl.ds(0, rows)],
+                        scratches[k].at[slot].at[pl.ds(0, rows)],
+                        sems.at[k, slot],
+                    ).wait()
+
+            if edge is None:
+                wait_rows(win)
+            else:
+
+                @pl.when(edge)
+                def _():
+                    wait_rows(edge_len)
+
+                @pl.when(jnp.logical_not(edge))
+                def _():
+                    wait_rows(win)
 
         # warm-up: first step fetches its own window
         @pl.when(i == 0)
@@ -407,64 +541,25 @@ def _execute_dma(op: Operation, operand_arrays, *, interpret: bool):
         def _():
             start_fetch(i + 1, (i + 1) % 2)
 
-        wait_fetch(i % 2)
+        wait_fetch(i, i % 2)
 
-        w = window_start(i)
         slot = i % 2
-        # Ideal window start is i*slab - h0p; clamping shifts it only at the
-        # first slab (delta = -h0p) and last slab (delta = +h0p) — slab >=
-        # h0p guarantees interior slabs never clamp. The window must be
-        # rotated by -delta so scratch row (h0p + o0 + r) is global row
-        # (i*slab + r + o0); wrapped rows fall in the unspecified out-of-
-        # domain zone and are masked by the copy-through select. 32-bit data
-        # uses Mosaic's dynamic rotate; bf16 (no narrow-dtype rotate in
-        # Mosaic) branches on the grid position to *static* slice+concat
-        # shifts of ±h0p, which are sublane-aligned by construction.
-        delta = (i * slab - jnp.int32(h0p)) - w
-
-        def _static_rotate(v, k_shift):
-            k_shift %= win
-            if k_shift == 0:
-                return v
-            lo = jax.lax.slice_in_dim(v, k_shift, win, axis=0)
-            hi = jax.lax.slice_in_dim(v, 0, k_shift, axis=0)
-            return jnp.concatenate([lo, hi], axis=0)
-
-        ext_cache: dict = {}
-
-        def ext(k):
-            if k not in ext_cache:
-                v = scratches[k][slot]
-                if dtype.itemsize == 4:
-                    v = pltpu.roll(v, ((-delta) % win).astype(jnp.int32), axis=0)
-                else:
-                    v = jax.lax.cond(
-                        i == 0,
-                        lambda u: _static_rotate(u, win - h0p),  # delta=-h0p
-                        lambda u: jax.lax.cond(
-                            i == n_slabs - 1,
-                            lambda t: _static_rotate(t, h0p),  # delta=+h0p
-                            lambda t: t,
-                            u,
-                        ),
-                        v,
-                    )
-                ext_cache[k] = v
-            return ext_cache[k]
 
         def access_fn(k, offset):
-            o0 = offset[0]
-            sl = jax.lax.slice_in_dim(ext(k), h0p + o0, h0p + o0 + slab, axis=0)
-            for d in range(1, rank):
-                sl = _wrap_shift(sl, d, offset[d], shape[d])
+            # load the shifted slab straight from the scratch ref (slicing a
+            # whole-window *value* would materialize a VMEM copy per access);
+            # dim 0 is the untiled window dim, so any o0 start is legal
+            sl = scratches[k][slot, pl.ds(h0p + offset[0], slab)]
+            for d in range(1, krank):
+                sl = _wrap_shift(sl, d, offset[d], kshape[d])
             return sl
 
         def index_fn(d):
+            blk = (slab,) + kshape[1:]
             if d == 0:
-                base = i * slab + outer.lb[0]
-                iv = jax.lax.broadcasted_iota(jnp.int32, (slab,) + shape[1:], 0)
-                return iv + base
-            iv = jax.lax.broadcasted_iota(jnp.int32, (slab,) + shape[1:], d)
+                iv = jax.lax.broadcasted_iota(jnp.int32, blk, 0)
+                return iv + i * slab + outer.lb[0]
+            iv = jax.lax.broadcasted_iota(jnp.int32, blk, d)
             return iv + outer.lb[d]
 
         scalar_vals = [r[0, 0] for r in scalar_refs]
@@ -472,23 +567,36 @@ def _execute_dma(op: Operation, operand_arrays, *, interpret: bool):
             body, rank, n_in, access_fn, index_fn, scalar_vals
         )
 
-        mask = None
-        if not full_domain:
-            for d in range(rank):
-                iv = index_fn(d)
-                m = (iv >= bounds.lb[d]) & (iv < bounds.ub[d])
-                mask = m if mask is None else (mask & m)
-
+        blk = (slab,) + kshape[1:]
+        vals, seeds = [], []
         for j in range(n_results):
-            val = jnp.broadcast_to(jnp.asarray(yields[j], dtype), (slab,) + shape[1:])
-            if mask is None:
-                out_refs[j][...] = val
+            vals.append(jnp.broadcast_to(jnp.asarray(yields[j], dtype), blk))
+            if mask_ref is None:
+                seeds.append(None)
+            elif j < n_in:
+                seeds.append(scratches[j][slot, pl.ds(h0p, slab)])
             else:
-                if j < n_in:
-                    seed = jax.lax.slice_in_dim(ext(j), h0p, h0p + slab, axis=0)
-                else:
-                    seed = jnp.zeros((slab,) + shape[1:], dtype)
-                out_refs[j][...] = jnp.where(mask, val, seed)
+                seeds.append(jnp.zeros(blk, dtype))
+
+        if mask_ref is None:
+            for j in range(n_results):
+                out_refs[j][...] = vals[j]
+        else:
+            m12 = jnp.broadcast_to(mask_ref[...] != 0, blk)
+            # does this slab contain any dim-0 boundary rows?
+            need0 = (i * slab < lb0p) | ((i + 1) * slab > ub0p)
+
+            @pl.when(need0)
+            def _():
+                iv0 = jax.lax.broadcasted_iota(jnp.int32, blk, 0) + i * slab
+                m = m12 & (iv0 >= lb0p) & (iv0 < ub0p)
+                for j in range(n_results):
+                    out_refs[j][...] = jnp.where(m, vals[j], seeds[j])
+
+            @pl.when(jnp.logical_not(need0))
+            def _():
+                for j in range(n_results):
+                    out_refs[j][...] = jnp.where(m12, vals[j], seeds[j])
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_in)]
     for _ in scalars:
@@ -499,25 +607,44 @@ def _execute_dma(op: Operation, operand_arrays, *, interpret: bool):
                 memory_space=pltpu.SMEM,
             )
         )
+    if mask_trail is not None:
+        # constant block index: the pipeline fetches the mask once
+        in_specs.append(
+            pl.BlockSpec(
+                kshape[1:],
+                lambda i: (jnp.int32(0),) * (krank - 1),
+                memory_space=pltpu.VMEM,
+            )
+        )
     out_specs = [
         pl.BlockSpec(
-            (slab,) + shape[1:],
-            lambda i: (jnp.asarray(i, jnp.int32),) + (jnp.int32(0),) * (rank - 1),
+            (slab,) + kshape[1:],
+            lambda i: (jnp.asarray(i, jnp.int32),) + (jnp.int32(0),) * (krank - 1),
             memory_space=pltpu.VMEM,
         )
         for _ in range(n_results)
     ]
     scratch_shapes = [
-        pltpu.VMEM((2, win) + shape[1:], dtype) for _ in range(n_in)
+        pltpu.VMEM((2, win) + kshape[1:], dtype) for _ in range(n_in)
     ] + [pltpu.SemaphoreType.DMA((n_in, 2))]
 
     scalar_args = [jnp.asarray(s).reshape(1, 1) for s in scalars]
     call_inputs = [jnp.asarray(a, dtype) for a in inputs] + scalar_args
+    if mask_trail is not None:
+        call_inputs.append(mask_trail)
     out_shape = [
-        jax.ShapeDtypeStruct(shape, jnp.dtype(r.type.element)) for r in op.results
+        jax.ShapeDtypeStruct(kshape, jnp.dtype(r.type.element))
+        for r in op.results
     ]
 
-    result = pl.pallas_call(
+    kwargs = {}
+    if not interpret:
+        # double-buffered rank-3 windows can exceed the default scoped-vmem
+        # limit; v5e has headroom (the multisweep kernels use the same raise)
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        )
+    return pl.pallas_call(
         kernel,
         grid=(n_slabs,),
         in_specs=in_specs,
@@ -525,8 +652,8 @@ def _execute_dma(op: Operation, operand_arrays, *, interpret: bool):
         out_shape=out_shape if n_results > 1 else out_shape[0],
         scratch_shapes=scratch_shapes,
         interpret=interpret,
+        **kwargs,
     )(*call_inputs)
-    return result
 
 
 # ---------------------------------------------------------------------------
