@@ -36,7 +36,7 @@ from .types import (
     TensorType,
 )
 
-LINEAR_SOLVERS = ("cg", "gmres", "bicgstab", "direct")
+LINEAR_SOLVERS = ("cg", "gmres", "bicgstab", "chebyshev", "direct")
 NONLINEAR_METHODS = ("newton", "newton-krylov", "picard")
 REDUCE_KINDS = ("sum", "max", "min", "l1", "l2")
 

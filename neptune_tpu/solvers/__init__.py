@@ -3,6 +3,7 @@
 
 from .assemble import MatrixHandle
 from .krylov import SolveInfo, bicgstab, cg, direct, gmres, solve
+from .chebyshev import SpectrumBounds, chebyshev, estimate_spectrum, power_method
 from .newton import NewtonInfo, newton_krylov, picard
 from .multigrid import (
     build_levels,
@@ -20,6 +21,10 @@ __all__ = [
     "SolveInfo",
     "bicgstab",
     "cg",
+    "chebyshev",
+    "SpectrumBounds",
+    "estimate_spectrum",
+    "power_method",
     "direct",
     "gmres",
     "solve",

@@ -33,6 +33,9 @@ LINEAR_OPTION_KEYS = {
     "restart": int,  # GMRES restart length (PETSc -ksp_gmres_restart)
     "atol": float,  # absolute residual tolerance (-ksp_atol)
     "divtol": float,  # divergence tolerance, relative to ||b|| (-ksp_divtol)
+    "lam_min": float,  # Chebyshev spectrum lower bound (-ksp_chebyshev_eigenvalues)
+    "lam_max": float,  # Chebyshev spectrum upper bound
+    "check_every": int,  # Chebyshev residual-test period (0 = reduction-free)
 }
 
 # Nonlinear (SNES-class) options.
@@ -133,6 +136,11 @@ def linear_option_kwargs(solver: str, opts: Mapping) -> dict:
     if "atol" in opts:
         kw["atol"] = opts["atol"]
     if "divtol" in opts:
+        if solver == "chebyshev":
+            raise ValueError(
+                "option 'divtol' does not apply to solver='chebyshev' "
+                "(no per-iteration residual test)"
+            )
         kw["divtol"] = opts["divtol"]
     if "restart" in opts:
         if solver != "gmres":
@@ -141,6 +149,14 @@ def linear_option_kwargs(solver: str, opts: Mapping) -> dict:
                 f"{solver!r})"
             )
         kw["restart"] = opts["restart"]
+    for k in ("lam_min", "lam_max", "check_every"):
+        if k in opts:
+            if solver != "chebyshev":
+                raise ValueError(
+                    f"option {k!r} only applies to solver='chebyshev' (got "
+                    f"{solver!r})"
+                )
+            kw[k] = opts[k]
     return kw
 
 

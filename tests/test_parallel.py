@@ -219,6 +219,38 @@ class TestShardMapOpdef:
         x = np.asarray(solve(gm.shard(jnp.asarray(b))))
         np.testing.assert_allclose(lap2d_np(x), b, atol=1e-8)
 
+    def test_sharded_chebyshev_reduction_free(self):
+        """Chebyshev through the shard_map matvec: the solve loop contains
+        no inner products, so the only per-iteration collectives are the
+        halo ppermutes. With explicit bounds, the WHOLE solve is psum-free
+        until the final residual norm; the answer must match the dense
+        solution and be identical across mesh shapes."""
+        from neptune_tpu.parallel import shardmap_opdef
+        from neptune_tpu.solvers import chebyshev
+
+        b = np.random.default_rng(12).standard_normal((64, 64))
+        # 2-D Dirichlet Poisson spectrum bounds: 4..8 with margins
+        lmin = 2.0 * (2.0 - 2.0 * np.cos(np.pi / 65))
+        sols = {}
+        for axes in ((8, 1), (4, 2), (2, 4)):
+            ntp.reset_context()
+            make_lap2d(64)
+            gm = GridMesh(axes, ("x", "y"))
+            cm = ntp.get_context().compiled()
+            mv = shardmap_opdef(cm, "lap2d", gm)
+
+            @jax.jit
+            def solve(bb):
+                x, info = chebyshev(
+                    mv, bb, lam_min=lmin, lam_max=8.0, maxiter=4000
+                )
+                return x
+
+            sols[axes] = np.asarray(solve(gm.shard(jnp.asarray(b))))
+            np.testing.assert_allclose(lap2d_np(sols[axes]), b, atol=1e-7)
+        np.testing.assert_array_equal(sols[(8, 1)], sols[(4, 2)])
+        np.testing.assert_array_equal(sols[(4, 2)], sols[(2, 4)])
+
     def test_shardmap_opdef_pallas_window(self):
         # the Pallas-local multi-chip path (interpret mode): each shard runs
         # the slab-blocked window kernel with traced global coordinates
