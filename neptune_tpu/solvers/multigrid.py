@@ -44,6 +44,7 @@ class MGLevel(NamedTuple):
     matvec: Callable
     inv_diag: jnp.ndarray  # exact 1/diag(A) on this level's grid
     interior: jnp.ndarray  # bool mask: 1 inside the boundary ring
+    cheb_lmax: Optional[jnp.ndarray] = None  # est. lam_max of D^-1 A
 
 
 def _halo_of(op) -> tuple:
@@ -98,7 +99,21 @@ def build_levels(
             iv = np.arange(shape[d])
             m = (iv >= ring) & (iv < shape[d] - ring)
             idx = idx & m.reshape((1,) * d + (-1,) + (1,) * (like.ndim - d - 1))
-        levels.append(MGLevel(mv, inv_diag, jnp.asarray(idx)))
+
+        # lam_max of the Jacobi-preconditioned operator D^-1 A (drives the
+        # "cheb" smoother's target interval [lmax/4, lmax]); one-time jitted
+        # power iteration per level
+        from .chebyshev import power_method
+
+        probe = jnp.asarray(
+            np.random.default_rng(12345).standard_normal(shape), like.dtype
+        )
+        lmax = jax.jit(
+            lambda pb, iv=inv_diag, mv=mv: power_method(
+                mv, pb, iters=20, M=lambda v: iv * v
+            )
+        )(probe) * 1.1
+        levels.append(MGLevel(mv, inv_diag, jnp.asarray(idx), lmax))
         shape = tuple(s // 2 for s in shape)
     return levels
 
@@ -148,11 +163,34 @@ def v_cycle(
     with no same-color coupling (all star stencils) this IS Gauss-Seidel
     ordering; measured two-level factor 0.18 at (2,2) on Poisson vs 0.34
     for damped Jacobi. "jacobi" — omega-damped simultaneous update (2
-    matvecs cheaper per sweep, safest for arbitrary stencils).
+    matvecs cheaper per sweep, safest for arbitrary stencils). "cheb" —
+    degree-n Chebyshev smoothing of D^-1 A on [lam_max/4, lam_max]
+    (one matvec per degree like Jacobi but with the optimal-polynomial
+    damping of the upper spectrum; fixed degree + fixed bounds keep the
+    cycle a LINEAR operator, so it remains a valid CG preconditioner, and
+    it is reduction-free — the TPU-mesh-native choice).
     """
+    if smoother not in ("rb", "jacobi", "cheb"):
+        raise ValueError(
+            f"unknown smoother {smoother!r}; options: 'rb', 'jacobi', 'cheb'"
+        )
     L = levels[_lvl]
 
-    if smoother == "rb":
+    if smoother == "cheb":
+        from .chebyshev import chebyshev as _chebyshev
+
+        lmax = L.cheb_lmax
+
+        def smooth(x, n):
+            if n <= 0:
+                return x
+            y, _ = _chebyshev(
+                L.matvec, b, x0=x, M=lambda v: L.inv_diag * v,
+                lam_min=lmax / 4.0, lam_max=lmax, maxiter=n,
+            )
+            return y
+
+    elif smoother == "rb":
         red = _red_mask(b.shape)
 
         def smooth(x, n):
@@ -329,22 +367,31 @@ def mg_preconditioner(
     post: int = 1,
     omega: float = 0.8,
     coarse_iters: int = 32,
+    smoother: str = "jacobi",
 ) -> Callable:
     """M(r) ~= A^-1 r: one V-cycle from a zero guess, for use as the `M`
     of the Krylov solvers (`cg(..., M=mg_preconditioner(...))`).
 
     CG requires a FIXED symmetric positive linear M, so this cycle differs
-    from the solver default: damped-Jacobi smoothing (simultaneous update —
-    symmetric; red-black ordering is not) with equal pre/post counts, and a
-    fixed-count Jacobi coarsest solve (an inner CG would make M nonlinear
-    in r, silently corrupting outer-CG orthogonality).
+    from the solver default: symmetric smoothing with equal pre/post counts
+    and a fixed-count coarsest smooth (an inner CG would make M nonlinear
+    in r, silently corrupting outer-CG orthogonality). smoother: "jacobi"
+    (damped simultaneous update) or "cheb" (fixed-degree Chebyshev in
+    D^-1 A — self-adjoint in the D-inner product, the GAMG/MueLu-style
+    choice, and reduction-free on a device mesh). Red-black ordering is
+    NOT symmetric and is rejected here.
     """
+    if smoother not in ("jacobi", "cheb"):
+        raise ValueError(
+            "mg_preconditioner smoother must be 'jacobi' or 'cheb' "
+            f"(got {smoother!r}; 'rb' ordering is not symmetric)"
+        )
     lv = build_levels(ops, like)
 
     def M(r):
         return v_cycle(
             lv, r, jnp.zeros_like(r), pre=pre, post=post, omega=omega,
-            coarse_iters=coarse_iters, smoother="jacobi",
+            coarse_iters=coarse_iters, smoother=smoother,
             coarse_solver="jacobi",
         )
 

@@ -98,6 +98,33 @@ class TestMultigrid:
         r = b - ops[0].matvec(x)
         assert float(jnp.linalg.norm(r)) <= 1e-8 * float(jnp.linalg.norm(b)) * 1.01
 
+    def test_cheb_smoother(self):
+        """Chebyshev smoothing (reduction-free, mesh-native) must converge
+        at a multigrid-like rate and stay a valid linear preconditioner."""
+        ops = poisson_ops([128, 64, 32, 16])
+        rng = np.random.default_rng(7)
+        b = rng.standard_normal((128, 128))
+        x, info = multigrid_solve(ops, b, tol=1e-9, maxiter=60, smoother="cheb")
+        assert bool(info.converged), f"resnorm {float(info.resnorm):.2e}"
+        r = b - np.asarray(ops[0].matvec(jnp.asarray(x)))
+        assert np.linalg.norm(r) <= 1e-9 * np.linalg.norm(b) * 1.01
+
+        # as a CG preconditioner (linearity: fixed degree + fixed bounds)
+        ops3 = poisson_ops([64, 32, 16])
+        b2 = np.zeros((64, 64))
+        b2[1:-1, 1:-1] = rng.standard_normal((62, 62))
+        b2 = jnp.asarray(b2)
+        M = mg_preconditioner(ops3, b2, smoother="cheb")
+        x2, pre = cg(ops3[0].matvec, b2, tol=1e-8, maxiter=200, M=M)
+        assert bool(pre.converged)
+        assert int(pre.iters) < 40
+
+    def test_unknown_smoother_rejected(self):
+        ops = poisson_ops([32, 16])
+        b = np.zeros((32, 32))
+        with pytest.raises(ValueError, match="unknown smoother"):
+            multigrid_solve(ops, b, maxiter=1, smoother="sor")
+
     def test_f32(self):
         ops = poisson_ops([64, 32, 16], dtype="float32")
         rng = np.random.default_rng(4)
