@@ -352,6 +352,25 @@ def _pick_slab_collapsed(extent0: int, row_bytes: int, n_in: int,
 
 
 def _execute_dma(op: Operation, operand_arrays, *, interpret: bool):
+    """Route to the rank-specific rolling-window kernel.
+
+    The two ranks want structurally different schemes (measured on v5e):
+    - rank 3 windows along dim 0, which Mosaic leaves UNTILED — window
+      starts/halos need no alignment, edge windows land via pl.when-branched
+      partial DMAs, and dim-0 accesses are free ref slices (84.7 vs 71
+      Gcell/s multi-copy on the 256^3 7-pt sweep).
+    - rank 2 windows live on the TILED sublane dim — partial edge DMAs would
+      leave data at shifted scratch offsets that only unaligned (relayout-
+      per-access) loads could read, so it instead fetches clamped aligned
+      windows and realigns edges with one in-register pltpu.roll (73 vs 52
+      Gcell/s branched-DMA on the 4th-order advection sweep).
+    """
+    if op.results[0].type.bounds.rank == 3:
+        return _execute_dma_rank3(op, operand_arrays, interpret=interpret)
+    return _execute_dma_rank2(op, operand_arrays, interpret=interpret)
+
+
+def _execute_dma_rank3(op: Operation, operand_arrays, *, interpret: bool):
     out_type: TempType = op.results[0].type
     n_in = op.attrs.get("num_inputs", len(op.operands))
     inputs = operand_arrays[:n_in]
@@ -373,33 +392,19 @@ def _execute_dma(op: Operation, operand_arrays, *, interpret: bool):
     # dims-0-1-collapsed rank-2 window whose j+-1 accesses land on
     # misaligned sublanes (measured: native 95 / collapsed 72 / multi-copy
     # 71 Gcell/s on the 256^3 7-pt sweep).
-    if rank == 3:
-        h0 = max(sshape.halo()[0])
-        kshape = shape
-        al = 1  # dim 0 is untiled — any window start/halo is legal
-        h0p = h0
-    else:
-        h0 = max(sshape.halo()[0])
-        kshape = shape
-        # Mosaic requires sublane-tile-aligned buffer shapes and slice
-        # starts on the second-minor dim: 8 rows for 32-bit data, 16 for
-        # bf16. Pad the window halo up to a tile multiple each side so
-        # win = slab + 2*h0p stays aligned.
-        al = 8 if dtype.itemsize == 4 else 16
-        h0p = ((h0 + al - 1) // al) * al
+    h0 = max(sshape.halo()[0])
+    kshape = shape
+    al = 1  # dim 0 is untiled — any window start/halo is legal
+    h0p = h0
     krank = len(kshape)
 
     row_bytes = math.prod(kshape[1:]) * dtype.itemsize
-    if rank == 3:
-        slab = _pick_slab_collapsed(
-            kshape[0], row_bytes, n_in, len(op.results), h0p, al,
-            budget=40 * 1024 * 1024,
-        )
-        if slab is None:
-            raise NotImplementedError("no feasible slab for rank-3 window")
-    else:
-        # working set: n_in double-buffered windows + out block + temps
-        slab = _pick_slab(kshape[0], row_bytes, 2 * n_in + 2, align=al)
+    slab = _pick_slab_collapsed(
+        kshape[0], row_bytes, n_in, len(op.results), h0p, al,
+        budget=40 * 1024 * 1024,
+    )
+    if slab is None:
+        raise NotImplementedError("no feasible slab for rank-3 window")
     if kshape[0] % slab != 0:
         raise NotImplementedError("dma kernel requires dim0 divisible by slab")
     if h0p > slab:
@@ -546,9 +551,9 @@ def _execute_dma(op: Operation, operand_arrays, *, interpret: bool):
         slot = i % 2
 
         def access_fn(k, offset):
-            # load the shifted slab straight from the scratch ref (slicing a
-            # whole-window *value* would materialize a VMEM copy per access);
-            # dim 0 is the untiled window dim, so any o0 start is legal
+            # dim 0 is the UNTILED window dim: any o0 start is legal and
+            # the ref slice is free, while value-slicing a whole window
+            # would materialize a VMEM copy per access
             sl = scratches[k][slot, pl.ds(h0p + offset[0], slab)]
             for d in range(1, krank):
                 sl = _wrap_shift(sl, d, offset[d], kshape[d])
@@ -653,6 +658,220 @@ def _execute_dma(op: Operation, operand_arrays, *, interpret: bool):
         scratch_shapes=scratch_shapes,
         interpret=interpret,
         **kwargs,
+    )(*call_inputs)
+
+
+def _execute_dma_rank2(op: Operation, operand_arrays, *, interpret: bool):
+    """Rank-2 rolling window on the tiled sublane dim (clamp + roll).
+
+    Mosaic requires sublane-tile-aligned buffer shapes and slice starts on
+    the second-minor dim, so the window start is clamped to an aligned
+    position and edge windows are realigned with ONE in-register rotate per
+    input (pltpu.roll for 32-bit; static slice+concat for bf16) — cheaper
+    than the rank-3 scheme's branched partial DMAs here, whose shifted
+    scratch offsets would force a relayout copy on every unaligned sublane
+    access (measured 73 vs 52 Gcell/s on the 4th-order advection sweep).
+    """
+    out_type: TempType = op.results[0].type
+    n_in = op.attrs.get("num_inputs", len(op.operands))
+    inputs = operand_arrays[:n_in]
+    scalars = operand_arrays[n_in:]
+    bounds: Bounds = op.attrs["bounds"]
+    outer = out_type.bounds
+    rank = outer.rank
+    shape = outer.shape
+    dtype = jnp.dtype(out_type.element)
+
+    sshape: StencilShape = op.attrs.get("shape") or StencilShape(())
+    h0 = max(sshape.halo()[0])
+    # Pad the window halo up to one sublane tile each side (8 rows for
+    # 32-bit data, 16 for bf16) so win = slab + 2*h0p stays aligned.
+    al = 8 if dtype.itemsize == 4 else 16
+    h0p = ((h0 + al - 1) // al) * al
+    if h0 > al:
+        raise NotImplementedError(f"dma kernel supports dim-0 halo <= {al}")
+
+    row_bytes = math.prod(shape[1:]) * dtype.itemsize
+    # working set: n_in double-buffered windows + out block + temps
+    slab = _pick_slab(shape[0], row_bytes, 2 * n_in + 2, align=al)
+    if shape[0] % slab != 0:
+        raise NotImplementedError("dma kernel requires dim0 divisible by slab")
+    if h0p > slab:
+        # interior windows would clamp; the edge-rotation correction only
+        # handles the first/last slab
+        raise NotImplementedError("dim-0 halo exceeds the slab height")
+    n_slabs = shape[0] // slab
+    win = slab + 2 * h0p
+    if win > shape[0]:
+        raise NotImplementedError("window exceeds array extent")
+
+    body = op.region(0)
+    n_results = len(op.results)
+    full_domain = bounds == outer
+
+    def kernel(*refs):
+        hbm_refs = refs[:n_in]
+        scalar_refs = refs[n_in : n_in + len(scalars)]
+        out_refs = refs[n_in + len(scalars) : n_in + len(scalars) + n_results]
+        scratches = refs[n_in + len(scalars) + n_results : -1]
+        sems = refs[-1]  # DMA semaphores, shape (n_in, 2)
+
+        i = pl.program_id(0)
+
+        def window_start(step):
+            # slab, h0p, and shape[0]-win are all multiples of the sublane
+            # tile, so the clamped start is too — pl.multiple_of carries the
+            # proof Mosaic needs for the tiled HBM slice
+            ideal = step * slab - h0p
+            w = jnp.clip(ideal, jnp.int32(0), jnp.int32(shape[0] - win)).astype(
+                jnp.int32
+            )
+            return pl.multiple_of(w, al)
+
+        def start_fetch(step, slot):
+            for k in range(n_in):
+                pltpu.make_async_copy(
+                    hbm_refs[k].at[pl.ds(window_start(step), win)],
+                    scratches[k].at[slot],
+                    sems.at[k, slot],
+                ).start()
+
+        def wait_fetch(slot):
+            for k in range(n_in):
+                pltpu.make_async_copy(
+                    hbm_refs[k].at[pl.ds(jnp.int32(0), win)],
+                    scratches[k].at[slot],
+                    sems.at[k, slot],
+                ).wait()
+
+        # warm-up: first step fetches its own window
+        @pl.when(i == 0)
+        def _():
+            start_fetch(jnp.int32(0), 0)
+
+        # prefetch the next window into the other slot
+        @pl.when(i + 1 < n_slabs)
+        def _():
+            start_fetch(i + 1, (i + 1) % 2)
+
+        wait_fetch(i % 2)
+
+        w = window_start(i)
+        slot = i % 2
+        # Ideal window start is i*slab - h0p; clamping shifts it only at the
+        # first slab (delta = -h0p) and last slab (delta = +h0p) — slab >=
+        # h0p guarantees interior slabs never clamp. The window must be
+        # rotated by -delta so scratch row (h0p + o0 + r) is global row
+        # (i*slab + r + o0); wrapped rows fall in the unspecified out-of-
+        # domain zone and are masked by the copy-through select. 32-bit data
+        # uses Mosaic's dynamic rotate; bf16 (no narrow-dtype rotate in
+        # Mosaic) branches on the grid position to *static* slice+concat
+        # shifts of ±h0p, which are sublane-aligned by construction.
+        delta = (i * slab - jnp.int32(h0p)) - w
+
+        def _static_rotate(v, k_shift):
+            k_shift %= win
+            if k_shift == 0:
+                return v
+            lo = jax.lax.slice_in_dim(v, k_shift, win, axis=0)
+            hi = jax.lax.slice_in_dim(v, 0, k_shift, axis=0)
+            return jnp.concatenate([lo, hi], axis=0)
+
+        ext_cache: dict = {}
+
+        def ext(k):
+            if k not in ext_cache:
+                v = scratches[k][slot]
+                if dtype.itemsize == 4:
+                    v = pltpu.roll(v, ((-delta) % win).astype(jnp.int32), axis=0)
+                else:
+                    v = jax.lax.cond(
+                        i == 0,
+                        lambda u: _static_rotate(u, win - h0p),  # delta=-h0p
+                        lambda u: jax.lax.cond(
+                            i == n_slabs - 1,
+                            lambda t: _static_rotate(t, h0p),  # delta=+h0p
+                            lambda t: t,
+                            u,
+                        ),
+                        v,
+                    )
+                ext_cache[k] = v
+            return ext_cache[k]
+
+        def access_fn(k, offset):
+            o0 = offset[0]
+            sl = jax.lax.slice_in_dim(ext(k), h0p + o0, h0p + o0 + slab, axis=0)
+            for d in range(1, rank):
+                sl = _wrap_shift(sl, d, offset[d], shape[d])
+            return sl
+
+        def index_fn(d):
+            if d == 0:
+                base = i * slab + outer.lb[0]
+                iv = jax.lax.broadcasted_iota(jnp.int32, (slab,) + shape[1:], 0)
+                return iv + base
+            iv = jax.lax.broadcasted_iota(jnp.int32, (slab,) + shape[1:], d)
+            return iv + outer.lb[d]
+
+        scalar_vals = [r[0, 0] for r in scalar_refs]
+        yields = jnp_backend.eval_scalar_dag(
+            body, rank, n_in, access_fn, index_fn, scalar_vals
+        )
+
+        mask = None
+        if not full_domain:
+            for d in range(rank):
+                iv = index_fn(d)
+                m = (iv >= bounds.lb[d]) & (iv < bounds.ub[d])
+                mask = m if mask is None else (mask & m)
+
+        for j in range(n_results):
+            val = jnp.broadcast_to(jnp.asarray(yields[j], dtype), (slab,) + shape[1:])
+            if mask is None:
+                out_refs[j][...] = val
+            else:
+                if j < n_in:
+                    seed = jax.lax.slice_in_dim(ext(j), h0p, h0p + slab, axis=0)
+                else:
+                    seed = jnp.zeros((slab,) + shape[1:], dtype)
+                out_refs[j][...] = jnp.where(mask, val, seed)
+
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_in)]
+    for _ in scalars:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1),
+                lambda i: (jnp.int32(0), jnp.int32(0)),
+                memory_space=pltpu.SMEM,
+            )
+        )
+    out_specs = [
+        pl.BlockSpec(
+            (slab,) + shape[1:],
+            lambda i: (jnp.asarray(i, jnp.int32),) + (jnp.int32(0),) * (rank - 1),
+            memory_space=pltpu.VMEM,
+        )
+        for _ in range(n_results)
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((2, win) + shape[1:], dtype) for _ in range(n_in)
+    ] + [pltpu.SemaphoreType.DMA((n_in, 2))]
+
+    scalar_args = [jnp.asarray(s).reshape(1, 1) for s in scalars]
+    call_inputs = [jnp.asarray(a, dtype) for a in inputs] + scalar_args
+    out_shape = [
+        jax.ShapeDtypeStruct(shape, jnp.dtype(r.type.element)) for r in op.results
+    ]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_slabs,),
+        in_specs=in_specs,
+        out_specs=out_specs if n_results > 1 else out_specs[0],
+        out_shape=out_shape if n_results > 1 else out_shape[0],
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
     )(*call_inputs)
 
 
