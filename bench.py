@@ -280,6 +280,18 @@ def full_suite():
         "kernel": "shard_map + halo exchange + Pallas window kernel",
     }
 
+    # config 5b: the default sharded execution path — fused strip-exchange
+    # (zero-ghost fused main sweep + ppermuted thin-band edge fixups; no
+    # ghost-extended array is ever materialized)
+    mv = shardmap_opdef(cm, "jacobi", gm, backend="jnp")
+    dt = timed_sweep(mv, x, 500, 2500)
+    results["shardmap_fused_1dev_1024"] = {
+        "us_per_sweep": dt * 1e6,
+        "gcell_per_s": n * n / dt / 1e9,
+        "frac_of_hbm_roofline": (n * n / dt) / ROOFLINE_CELLS,
+        "kernel": "shard_map fused strip exchange + band fixup (default)",
+    }
+
     # config 6: f64 accuracy — implicit heat step on TPU vs the native C++
     # runtime oracle (the reference's compiled-kernel + solver path), the
     # BASELINE "match reference CPU outputs to 1e-10" row as a tracked

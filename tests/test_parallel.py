@@ -224,7 +224,11 @@ class TestShardMapOpdef:
         no inner products, so the only per-iteration collectives are the
         halo ppermutes. With explicit bounds, the WHOLE solve is psum-free
         until the final residual norm; the answer must match the dense
-        solution and be identical across mesh shapes."""
+        solution, be bitwise run-to-run reproducible on a fixed mesh, and
+        agree across mesh shapes to near-ULP. (Cross-shape *bitwise*
+        identity is not promised: XLA's FMA contraction decisions depend on
+        the local block shapes, so the same elementwise dag can round
+        differently per mesh — observed ~1e-14 after 4000 iterations.)"""
         from neptune_tpu.parallel import shardmap_opdef
         from neptune_tpu.solvers import chebyshev
 
@@ -246,10 +250,13 @@ class TestShardMapOpdef:
                 )
                 return x
 
-            sols[axes] = np.asarray(solve(gm.shard(jnp.asarray(b))))
+            bs = gm.shard(jnp.asarray(b))
+            sols[axes] = np.asarray(solve(bs))
             np.testing.assert_allclose(lap2d_np(sols[axes]), b, atol=1e-7)
-        np.testing.assert_array_equal(sols[(8, 1)], sols[(4, 2)])
-        np.testing.assert_array_equal(sols[(4, 2)], sols[(2, 4)])
+            # determinism on a fixed topology is exact
+            np.testing.assert_array_equal(sols[axes], np.asarray(solve(bs)))
+        np.testing.assert_allclose(sols[(8, 1)], sols[(4, 2)], atol=2e-13)
+        np.testing.assert_allclose(sols[(4, 2)], sols[(2, 4)], atol=2e-13)
 
     def test_shardmap_opdef_pallas_window(self):
         # the Pallas-local multi-chip path (interpret mode): each shard runs
