@@ -292,6 +292,22 @@ def full_suite():
         "kernel": "shard_map fused strip exchange + band fixup (default)",
     }
 
+    # config 5c: the same fused path at an HBM-resident local-block size —
+    # the main core sweep routes through the Pallas window kernel
+    n4 = 4096
+    ntp.reset_context()
+    make_jacobi_2d(n4)
+    cm = ntp.get_context().compiled()
+    x4 = jnp.asarray(rng.standard_normal((n4, n4)).astype(np.float32))
+    mv = shardmap_opdef(cm, "jacobi", gm, backend="jnp")
+    dt = timed_sweep(mv, x4, 20, 100)
+    results["shardmap_fused_1dev_4096"] = {
+        "us_per_sweep": dt * 1e6,
+        "gcell_per_s": n4 * n4 / dt / 1e9,
+        "frac_of_hbm_roofline": (n4 * n4 / dt) / ROOFLINE_CELLS,
+        "kernel": "shard_map fused strips + Pallas window core sweep",
+    }
+
     # config 6: f64 accuracy — implicit heat step on TPU vs the native C++
     # runtime oracle (the reference's compiled-kernel + solver path), the
     # BASELINE "match reference CPU outputs to 1e-10" row as a tracked

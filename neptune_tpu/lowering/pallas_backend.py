@@ -1031,6 +1031,17 @@ def execute_apply_window(
         )
     call_inputs.extend(jnp.asarray(s).reshape(1, 1) for s in scalars)
 
+    # the n_copies block fetches alias one HBM buffer: report the true
+    # (deduped) traffic so the pipeliner overlaps fetches instead of
+    # serializing for the naive 4x estimate (measured 45 -> 90 Gcell/s on
+    # the 4096^2 5-pt core sweep — the same estimate _execute passes)
+    n_offsets = len(set(sshape.offsets)) or 1
+    cost = pl.CostEstimate(
+        flops=2 * n_offsets * math.prod(shape) * max(n_in, 1),
+        bytes_accessed=(n_in + n_results) * math.prod(shape) * dtype.itemsize,
+        transcendentals=0,
+    )
+
     out_shape = [jax.ShapeDtypeStruct(shape, dtype) for _ in range(n_results)]
     result = pl.pallas_call(
         kernel,
@@ -1038,6 +1049,7 @@ def execute_apply_window(
         in_specs=in_specs,
         out_specs=out_specs if n_results > 1 else out_specs[0],
         out_shape=out_shape if n_results > 1 else out_shape[0],
+        cost_estimate=cost,
         interpret=interpret,
     )(*call_inputs)
     return result

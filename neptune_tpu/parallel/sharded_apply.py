@@ -28,6 +28,11 @@ from ..lowering import jnp_backend
 from .halo import halo_pad_local
 from .mesh import GridMesh
 
+# Local-core size above which the fused path's main sweep routes to the
+# Pallas window kernel instead of XLA jnp (see _shardmap_fused); module-level
+# so tests can lower it to exercise the window main sweep in interpret mode.
+_WINDOW_CORE_BYTES = 4 * 1024 * 1024
+
 
 def _eval_apply_local(
     op: Operation,
@@ -390,33 +395,65 @@ def _shardmap_fused(cm, fn, op, gmesh, names, spec, tt, plan) -> Callable:
                     for o, lb_o, lb_i in zip(offset, outer.lb, input_lbs[k])
                 )
 
-            # ---- main sweep: zero-ghost, fully fused on the core block ----
-            def access_fn(k, offset):
-                return jnp_backend.shift_read(inputs_loc[k], adj_of(k, offset))
+            # ---- main sweep on the core block (zero-ghost: every cell whose
+            # stencil crosses a shard edge is overwritten by a band fixup
+            # below, so edge reads may be zeros OR wrap garbage) ----
+            # VMEM-scale cores: XLA fuses the slice+pad stencil in-loop
+            # (~114 Gcell/s at 1024²). HBM-scale cores: XLA's jnp codegen
+            # collapses (22 Gcell/s at 4096²) while the slab-blocked Pallas
+            # window kernel holds ~85 — route there; its pltpu.roll wrap
+            # garbage lands only in band-recomputed or mask-discarded cells.
+            use_window = False
+            core_bytes = dtype.itemsize
+            for e in nloc:
+                core_bytes *= e
+            if core_bytes > _WINDOW_CORE_BYTES:
+                from ..config import config
+                from ..lowering import pallas_backend
+
+                if pallas_backend.window_supported(op, nloc) and (
+                    pallas_backend._on_tpu() or config.pallas_interpret
+                ):
+                    use_window = True
 
             def index_fn(d):
                 iv = lax.broadcasted_iota(jnp.int32, nloc, d)
                 return iv + gstart[d]
 
-            ys = jnp_backend.eval_scalar_dag(
-                op.region(0), rank, n_in, access_fn, index_fn, scalar_vals
-            )
-            outs = []
-            for j, y in enumerate(ys):
-                y = jnp.broadcast_to(jnp.asarray(y, dtype), nloc)
-                if not full_domain:
-                    mask = None
-                    for d in range(rank):
-                        iv = index_fn(d)
-                        m = (iv >= bounds.lb[d]) & (iv < bounds.ub[d])
-                        mask = m if mask is None else (mask & m)
-                    seed = (
-                        inputs_loc[j].astype(dtype)
-                        if j < n_in
-                        else jnp.zeros(nloc, dtype)
-                    )
-                    y = jnp.where(mask, y, seed)
-                outs.append(y)
+            if use_window:
+                res = pallas_backend.execute_apply_window(
+                    op,
+                    [jnp.asarray(a, dtype) for a in inputs_loc],
+                    scalar_vals,
+                    nloc,
+                    gstart,
+                    interpret=config.pallas_interpret,
+                )
+                outs = list(res) if isinstance(res, tuple) else [res]
+            else:
+
+                def access_fn(k, offset):
+                    return jnp_backend.shift_read(inputs_loc[k], adj_of(k, offset))
+
+                ys = jnp_backend.eval_scalar_dag(
+                    op.region(0), rank, n_in, access_fn, index_fn, scalar_vals
+                )
+                outs = []
+                for j, y in enumerate(ys):
+                    y = jnp.broadcast_to(jnp.asarray(y, dtype), nloc)
+                    if not full_domain:
+                        mask = None
+                        for d in range(rank):
+                            iv = index_fn(d)
+                            m = (iv >= bounds.lb[d]) & (iv < bounds.ub[d])
+                            mask = m if mask is None else (mask & m)
+                        seed = (
+                            inputs_loc[j].astype(dtype)
+                            if j < n_in
+                            else jnp.zeros(nloc, dtype)
+                        )
+                        y = jnp.where(mask, y, seed)
+                    outs.append(y)
 
             # ---- strip exchange (per input, per sharded dim, in order) ----
             strips = [dict() for _ in range(n_in)]
