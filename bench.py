@@ -308,6 +308,20 @@ def full_suite():
         "kernel": "shard_map fused strips + Pallas window core sweep",
     }
 
+    # config 5d: rank-3 sharded — 7-pt heat through the fused strip path
+    ntp.reset_context()
+    make_heat_3d(m)
+    cm = ntp.get_context().compiled()
+    x3 = jnp.asarray(rng.standard_normal((m, m, m)).astype(np.float32))
+    mv = shardmap_opdef(cm, "heat", gm, backend="jnp")
+    dt = timed_sweep(mv, x3, 20, 100)
+    results["shardmap_fused_1dev_heat3d_256"] = {
+        "us_per_sweep": dt * 1e6,
+        "gcell_per_s": m**3 / dt / 1e9,
+        "frac_of_hbm_roofline": (m**3 / dt) / ROOFLINE_CELLS,
+        "kernel": "rank-3 shard_map fused strips + Pallas window core sweep",
+    }
+
     # config 6: f64 accuracy — implicit heat step on TPU vs the native C++
     # runtime oracle (the reference's compiled-kernel + solver path), the
     # BASELINE "match reference CPU outputs to 1e-10" row as a tracked
