@@ -322,6 +322,23 @@ def full_suite():
         "kernel": "rank-3 shard_map fused strips + Pallas window core sweep",
     }
 
+    # config 5e: communication-avoiding sharded sweeps — K relaxation sweeps
+    # per halo exchange (1/K the messages; the trapezoid band scheme)
+    from neptune_tpu.parallel import shardmap_sweeps
+
+    n, K = 1024, 8
+    ntp.reset_context()
+    make_jacobi_2d(n)
+    cm = ntp.get_context().compiled()
+    fk = shardmap_sweeps(cm, "jacobi", gm, K)
+    dt = timed_sweep(fk, x, 40, 200)
+    results["shardmap_sweeps_k8_1dev_1024"] = {
+        "us_per_sweep": dt / K * 1e6,
+        "gcell_per_s": n * n * K / dt / 1e9,
+        "frac_of_hbm_roofline": (n * n * K / dt) / ROOFLINE_CELLS,
+        "kernel": "communication-avoiding sharded sweeps (K=8 per exchange)",
+    }
+
     # config 6: f64 accuracy — implicit heat step on TPU vs the native C++
     # runtime oracle (the reference's compiled-kernel + solver path), the
     # BASELINE "match reference CPU outputs to 1e-10" row as a tracked

@@ -291,12 +291,12 @@ def _single_apply(fn):
     return apply_op
 
 
-def _fused_plan(fn, op, gmesh, names, tt):
+def _fused_plan(fn, op, gmesh, names, tt, sweeps_k: int = 1):
     """Static eligibility + geometry for the fused strip-exchange path.
 
     Returns (need, scalar_vals, ret_index, arg_uid_order) or None. `need[d]`
-    is the (lo, hi) ghost width actually read in dim d (adjusted offsets),
-    which the strips must carry."""
+    is the (lo, hi) PER-SWEEP reach in dim d (adjusted offsets); the strips
+    must carry sweeps_k times that, which the fit check accounts for."""
     rank = tt.bounds.rank
     n_in = op.attrs.get("num_inputs", len(op.operands))
     if op.attrs.get("periodic"):
@@ -333,14 +333,15 @@ def _fused_plan(fn, op, gmesh, names, tt):
                 lo_n = max(lo_n, -adj)
                 hi_n = max(hi_n, adj)
         need.append((lo_n, hi_n))
-    # strips come from immediate neighbors only: need must fit one shard
+    # strips come from immediate neighbors only: the K-deep reach must fit
+    # one shard (band stitching slices sweeps_k*(lo+hi) core rows)
     for d in range(rank):
         nm = names[d]
         ax = gmesh.shape[gmesh.axis_names.index(nm)] if nm else 1
         if outer.shape[d] % max(ax, 1) != 0:
             return None
         local_d = outer.shape[d] // max(ax, 1)
-        if need[d][0] + need[d][1] > local_d:
+        if sweeps_k * (need[d][0] + need[d][1]) > local_d:
             return None
     ret = fn.body.ops[-1]
     res_uids = {r.uid: i for i, r in enumerate(op.results)}
@@ -670,5 +671,239 @@ def shardmap_opdef(
             out_specs=(spec,) * n_out if n_out > 1 else spec,
             check_vma=False,
         )(*arrays)
+
+    return global_fn
+
+
+def shardmap_sweeps(
+    cm, name: str, gmesh: GridMesh, k: int, backend: str = "jnp"
+) -> Callable:
+    """K fused relaxation sweeps per halo exchange (communication-avoiding).
+
+    The sharded analog of `cm.sweeps(name, k)`: instead of K alternating
+    (exchange, sweep) rounds, each call exchanges K-deep ghost strips ONCE
+    and then runs K sweeps locally — 1/K the messages and collective
+    latency for the same total ghost bytes. Local correctness follows the
+    overlapping-trapezoid scheme:
+
+    * main: K zero-ghost sweeps on the core block (each sweep's wrong zone
+      grows by the stencil reach, to K·reach after K sweeps);
+    * bands: per sharded dim, the K·reach edge zone is recomputed exactly
+      from a thin strip-stitched band of width K·(2·lo+hi) (resp.
+      K·(lo+2·hi)): the valid zone of a K-sweep chain on that band shrinks
+      by `reach` per sweep and lands exactly on the K·reach output zone;
+    * corners ride the strips-of-strips two-step exchange, and later dims'
+      band fixups overwrite earlier dims' corner cells with values computed
+      from fully-extended data.
+
+    Equivalent to K applications of `shardmap_opdef(...)` (same masks and
+    copy-through semantics each sweep). Eligibility: unary single-result
+    single-apply opdefs, non-periodic, with K·reach fitting one shard;
+    anything else raises ValueError.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    fn = cm.module.lookup(name)
+    halo = fn.attrs.get("halo")
+    if halo is None:
+        raise ValueError(
+            f"@{name} has no halo annotation; compile the module through the "
+            "pipeline (verify_and_annotate) first"
+        )
+    tt: TempType = fn.ftype.inputs[0]
+    rank = tt.bounds.rank
+    if len(fn.ftype.inputs) != 1 or len(fn.ftype.results) != 1:
+        raise ValueError("shardmap_sweeps requires a unary, single-result opdef")
+    op = _single_apply(fn)
+    if op is None:
+        raise ValueError(
+            "shardmap_sweeps requires a single-apply opdef body "
+            "(composite operators cannot be time-skewed as one trapezoid)"
+        )
+    names = list(gmesh.axis_names[:rank]) + [None] * (rank - len(gmesh.axis_names))
+    plan = _fused_plan(fn, op, gmesh, names, tt, sweeps_k=k)
+    if plan is None:
+        raise ValueError(
+            f"@{name} is not eligible for fused sharded sweeps at k={k} "
+            "(periodic, non-constant scalars, or K*reach exceeds a shard)"
+        )
+    need, scalar_vals, ret_index, arg_order = plan
+    spec = gmesh.pspec(rank)
+
+    n_in = op.attrs.get("num_inputs", len(op.operands))
+    out_type: TempType = op.results[0].type
+    outer = out_type.bounds
+    bounds: Bounds = op.attrs["bounds"]
+    dtype = jnp.dtype(out_type.element)
+    input_lbs = [v.type.bounds.lb for v in op.operands[:n_in]]
+    full_domain = bounds == outer
+
+    def global_fn(x):
+        def local_fn(xl):
+            nloc = xl.shape
+            gstart = []
+            for d in range(rank):
+                nm = names[d]
+                base = lax.axis_index(nm) * nloc[d] if nm else jnp.int32(0)
+                gstart.append(jnp.asarray(base, jnp.int32) + jnp.int32(outer.lb[d]))
+
+            def adj_of(offset):
+                return tuple(
+                    o + (lb_o - lb_i)
+                    for o, lb_o, lb_i in zip(offset, outer.lb, input_lbs[0])
+                )
+
+            # one masked zero-ghost sweep over an arbitrary block, with
+            # per-dim global index bases (shape-preserving)
+            def sweep_block(u, bases, shape):
+                def access_fn(_k, offset):
+                    return jnp_backend.shift_read(u, adj_of(offset))
+
+                def index_fn(d):
+                    iv = lax.broadcasted_iota(jnp.int32, shape, d)
+                    return iv + bases[d]
+
+                ys = jnp_backend.eval_scalar_dag(
+                    op.region(0), rank, 1, access_fn, index_fn, scalar_vals
+                )
+                y = jnp.broadcast_to(jnp.asarray(ys[0], dtype), shape)
+                if not full_domain:
+                    mask = None
+                    for d in range(rank):
+                        iv = index_fn(d)
+                        m = (iv >= bounds.lb[d]) & (iv < bounds.ub[d])
+                        mask = m if mask is None else (mask & m)
+                    y = jnp.where(mask, y, u.astype(dtype))
+                return y
+
+            # ---- main: K zero-ghost sweeps on the core ----
+            use_window = False
+            core_bytes = dtype.itemsize
+            for e in nloc:
+                core_bytes *= e
+            if core_bytes > _WINDOW_CORE_BYTES:
+                from ..config import config
+                from ..lowering import pallas_backend
+
+                if pallas_backend.window_supported(op, nloc) and (
+                    pallas_backend._on_tpu() or config.pallas_interpret
+                ):
+                    use_window = True
+            y = xl
+            for _ in range(k):
+                if use_window:
+                    y = pallas_backend.execute_apply_window(
+                        op,
+                        [jnp.asarray(y, dtype)],
+                        scalar_vals,
+                        nloc,
+                        gstart,
+                        interpret=config.pallas_interpret,
+                    )
+                else:
+                    y = sweep_block(y, gstart, nloc)
+
+            # ---- K-deep strip exchange (strips of strips for corners) ----
+            strips: dict = {}
+
+            def ext_slice(d, start, stop):
+                def cut(a):
+                    return lax.slice_in_dim(a, start, stop, axis=d)
+
+                out = cut(xl)
+                for e in range(d):
+                    if e in strips:
+                        s_lo, s_hi = strips[e]
+                        parts = []
+                        if s_lo is not None:
+                            parts.append(cut(s_lo))
+                        parts.append(out)
+                        if s_hi is not None:
+                            parts.append(cut(s_hi))
+                        if len(parts) > 1:
+                            out = jnp.concatenate(parts, axis=e)
+                return out
+
+            sharded_dims = []
+            for d in range(rank):
+                lo_n, hi_n = k * need[d][0], k * need[d][1]
+                nm = names[d]
+                if not nm or (lo_n == 0 and hi_n == 0):
+                    continue
+                sharded_dims.append(d)
+                idx = lax.axis_index(nm)
+                npart = lax.axis_size(nm)
+                fwd = [((i - 1) % npart, i) for i in range(npart)]
+                bwd = [((i + 1) % npart, i) for i in range(npart)]
+                s_lo = s_hi = None
+                if lo_n:
+                    s_lo = lax.ppermute(
+                        ext_slice(d, nloc[d] - lo_n, nloc[d]), nm, fwd
+                    )
+                    s_lo = jnp.where(idx == 0, jnp.zeros_like(s_lo), s_lo)
+                if hi_n:
+                    s_hi = lax.ppermute(ext_slice(d, 0, hi_n), nm, bwd)
+                    s_hi = jnp.where(idx == npart - 1, jnp.zeros_like(s_hi), s_hi)
+                strips[d] = (s_lo, s_hi)
+
+            # ---- K-sweep trapezoid band fixups ----
+            for d in sharded_dims:
+                lo1, hi1 = need[d]
+                lo_n, hi_n = k * lo1, k * hi1
+                for side in ("lo", "hi"):
+                    out_w = lo_n if side == "lo" else hi_n
+                    if out_w == 0:
+                        continue
+                    s_lo, s_hi = strips[d]
+                    if side == "lo":
+                        parts = [s_lo, ext_slice(d, 0, lo_n + hi_n)]
+                        base_d = gstart[d] - lo_n
+                        d0_core = 0
+                    else:
+                        parts = [
+                            ext_slice(d, nloc[d] - (lo_n + hi_n), nloc[d]),
+                            s_hi,
+                        ]
+                        base_d = gstart[d] + nloc[d] - (lo_n + hi_n)
+                        d0_core = nloc[d] - out_w
+                    parts = [p for p in parts if p is not None]
+                    band = (
+                        jnp.concatenate(parts, axis=d)
+                        if len(parts) > 1
+                        else parts[0]
+                    )
+                    bases = []
+                    for d2 in range(rank):
+                        if d2 == d:
+                            bases.append(base_d)
+                        elif d2 < d and d2 in strips:
+                            bases.append(gstart[d2] - k * need[d2][0])
+                        else:
+                            bases.append(gstart[d2])
+                    bshape = band.shape
+                    band = band.astype(dtype)
+                    for _ in range(k):
+                        band = sweep_block(band, bases, bshape)
+                    # output zone starts at band index lo_n on both sides
+                    fix = lax.slice_in_dim(band, lo_n, lo_n + out_w, axis=d)
+                    sl = [slice(None)] * rank
+                    for e in range(d):
+                        if e in strips:
+                            sl[e] = slice(
+                                k * need[e][0], k * need[e][0] + nloc[e]
+                            )
+                    fix = fix[tuple(sl)]
+                    pos = tuple(d0_core if e == d else 0 for e in range(rank))
+                    y = lax.dynamic_update_slice(y, fix, pos)
+
+            return y
+
+        return shard_map(
+            local_fn,
+            mesh=gmesh.mesh,
+            in_specs=(spec,),
+            out_specs=spec,
+            check_vma=False,
+        )(x)
 
     return global_fn

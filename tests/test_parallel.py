@@ -286,3 +286,120 @@ class TestShardMapOpdef:
             np.testing.assert_allclose(out, ref, atol=1e-5)
         finally:
             config.pallas_interpret = False
+
+
+class TestShardmapSweeps:
+    """Communication-avoiding K-sweeps-per-exchange (`shardmap_sweeps`)."""
+
+    def _oracle(self, cm, name, x, k):
+        f = cm.function(name)
+
+        @jax.jit
+        def run(v):
+            return jax.lax.fori_loop(0, k, lambda i, u: f(u), v)
+
+        return np.asarray(run(jnp.asarray(x)))
+
+    @pytest.mark.parametrize("axes", [(8, 1), (4, 2), (2, 4)])
+    @pytest.mark.parametrize("k", [1, 2, 4])
+    def test_matches_k_applications_2d(self, axes, k):
+        # k=4 on (8,1) is the edge of the one-shard reach gate: 64/8 = 8
+        # local rows == k*(lo+hi)
+        from neptune_tpu.parallel import shardmap_sweeps
+
+        make_lap2d(64)
+        cm = ntp.get_context().compiled()
+        gm = GridMesh(axes, ("x", "y"))
+        fk = shardmap_sweeps(cm, "lap2d", gm, k)
+        x = np.random.default_rng(3).standard_normal((64, 64))
+        got = np.asarray(jax.jit(fk)(gm.shard(jnp.asarray(x))))
+        want = self._oracle(cm, "lap2d", x, k)
+        np.testing.assert_allclose(got, want, atol=1e-11)
+
+    def test_wide_stencil_asymmetric_mesh(self):
+        # 4th-order reach (h=2): K*h strips, trapezoid bands wider than h
+        from neptune_tpu.parallel import shardmap_sweeps
+
+        n = 64
+
+        @ntp.linear_op_def(
+            bounds=([0, 0], [n, n]), interior=([2, 2], [n - 2, n - 2])
+        )
+        def adv4(u):
+            return (
+                u[2, 0] - 2.0 * u[1, 0] + u[-1, 0] - u[-2, 0]
+                + u[0, 2] - 2.0 * u[0, 1] + u[0, -1] - u[0, -2]
+                + 4.0 * u[0, 0]
+            )
+
+        cm = ntp.get_context().compiled()
+        gm = GridMesh((2, 4), ("x", "y"))
+        for k in (1, 3):
+            fk = shardmap_sweeps(cm, "adv4", gm, k)
+            x = np.random.default_rng(5).standard_normal((n, n))
+            got = np.asarray(jax.jit(fk)(gm.shard(jnp.asarray(x))))
+            want = self._oracle(cm, "adv4", x, k)
+            np.testing.assert_allclose(got, want, atol=1e-11)
+
+    def test_rank3(self):
+        from neptune_tpu.parallel import shardmap_sweeps
+
+        m = 24
+
+        @ntp.linear_op_def(
+            bounds=([0, 0, 0], [m, m, m]),
+            interior=([1, 1, 1], [m - 1, m - 1, m - 1]),
+        )
+        def lap3(u):
+            return (
+                6.0 * u[0, 0, 0]
+                - u[1, 0, 0] - u[-1, 0, 0]
+                - u[0, 1, 0] - u[0, -1, 0]
+                - u[0, 0, 1] - u[0, 0, -1]
+            )
+
+        cm = ntp.get_context().compiled()
+        gm = GridMesh((4, 2), ("x", "y"))
+        fk = shardmap_sweeps(cm, "lap3", gm, 3)
+        x = np.random.default_rng(7).standard_normal((m, m, m))
+        got = np.asarray(jax.jit(fk)(gm.shard(jnp.asarray(x))))
+        want = self._oracle(cm, "lap3", x, 3)
+        np.testing.assert_allclose(got, want, atol=1e-11)
+
+    def test_window_core_sweep_interpret(self, monkeypatch):
+        # force the Pallas window-kernel main sweep (interpret mode) by
+        # dropping the VMEM-scale threshold
+        import neptune_tpu.parallel.sharded_apply as sa
+        from neptune_tpu.config import config
+        from neptune_tpu.parallel import shardmap_sweeps
+
+        monkeypatch.setattr(sa, "_WINDOW_CORE_BYTES", 0)
+        monkeypatch.setattr(config, "pallas_interpret", True)
+        n = 128
+
+        # f32: the window kernel supports float32/bfloat16 only
+        @ntp.linear_op_def(
+            bounds=([0, 0], [n, n]),
+            interior=([1, 1], [n - 1, n - 1]),
+            dtype="float32",
+        )
+        def lap2d(u):
+            return 4.0 * u[0, 0] - u[-1, 0] - u[1, 0] - u[0, -1] - u[0, 1]
+
+        cm = ntp.get_context().compiled()
+        gm = GridMesh((2,), ("x",))
+        fk = shardmap_sweeps(cm, "lap2d", gm, 2)
+        x = np.random.default_rng(9).standard_normal((n, n)).astype(np.float32)
+        got = np.asarray(jax.jit(fk)(gm.shard(jnp.asarray(x))))
+        want = self._oracle(cm, "lap2d", x, 2)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_rejects_too_deep_and_composite(self):
+        from neptune_tpu.parallel import shardmap_sweeps
+
+        make_lap2d(16)
+        cm = ntp.get_context().compiled()
+        gm = GridMesh((8, 1), ("x", "y"))
+        # 16/8 = 2 local rows; k=3 strips would span >1 shard
+        with pytest.raises(ValueError, match="not eligible"):
+            shardmap_sweeps(cm, "lap2d", gm, 3)
