@@ -339,6 +339,21 @@ def full_suite():
         "kernel": "communication-avoiding sharded sweeps (K=8 per exchange)",
     }
 
+    # config 5f: the same at an HBM-resident size — the K-fused multisweep
+    # window kernel with traced shard coordinates does all K sweeps in one
+    # HBM pass (beats the single-sweep roofline while sharded)
+    ntp.reset_context()
+    make_jacobi_2d(n4)
+    cm = ntp.get_context().compiled()
+    fk = shardmap_sweeps(cm, "jacobi", gm, K)
+    dt = timed_sweep(fk, x4, 6, 30)
+    results["shardmap_sweeps_k8_1dev_4096"] = {
+        "us_per_sweep": dt / K * 1e6,
+        "gcell_per_s": n4 * n4 * K / dt / 1e9,
+        "frac_of_single_sweep_roofline": (n4 * n4 * K / dt) / ROOFLINE_CELLS,
+        "kernel": "comm-avoiding sharded sweeps + K-fused multisweep window (K=8)",
+    }
+
     # config 6: f64 accuracy — implicit heat step on TPU vs the native C++
     # runtime oracle (the reference's compiled-kernel + solver path), the
     # BASELINE "match reference CPU outputs to 1e-10" row as a tracked

@@ -777,30 +777,43 @@ def shardmap_sweeps(
                 return y
 
             # ---- main: K zero-ghost sweeps on the core ----
-            use_window = False
+            # HBM-scale cores prefer, in order: (1) the K-fused multisweep
+            # window kernel (one HBM pass for all K sweeps — its clamp/roll
+            # edge garbage creeps exactly K*reach, the band-recomputed
+            # zone); (2) K single-sweep window-kernel calls; (3) the fused
+            # XLA jnp chain (VMEM-scale cores, where it wins).
             core_bytes = dtype.itemsize
             for e in nloc:
                 core_bytes *= e
+            y = None
             if core_bytes > _WINDOW_CORE_BYTES:
                 from ..config import config
-                from ..lowering import pallas_backend
+                from ..lowering import pallas_backend, pallas_multisweep
 
-                if pallas_backend.window_supported(op, nloc) and (
-                    pallas_backend._on_tpu() or config.pallas_interpret
-                ):
-                    use_window = True
-            y = xl
-            for _ in range(k):
-                if use_window:
-                    y = pallas_backend.execute_apply_window(
+                on_pl = pallas_backend._on_tpu() or config.pallas_interpret
+                if on_pl and pallas_multisweep.local_window_plan(op, nloc, k):
+                    y = pallas_multisweep.execute_sweeps_window_local(
                         op,
-                        [jnp.asarray(y, dtype)],
+                        jnp.asarray(xl, dtype),
                         scalar_vals,
-                        nloc,
+                        k,
                         gstart,
                         interpret=config.pallas_interpret,
                     )
-                else:
+                elif on_pl and pallas_backend.window_supported(op, nloc):
+                    y = jnp.asarray(xl, dtype)
+                    for _ in range(k):
+                        y = pallas_backend.execute_apply_window(
+                            op,
+                            [y],
+                            scalar_vals,
+                            nloc,
+                            gstart,
+                            interpret=config.pallas_interpret,
+                        )
+            if y is None:
+                y = xl
+                for _ in range(k):
                     y = sweep_block(y, gstart, nloc)
 
             # ---- K-deep strip exchange (strips of strips for corners) ----

@@ -366,9 +366,11 @@ class TestShardmapSweeps:
         want = self._oracle(cm, "lap3", x, 3)
         np.testing.assert_allclose(got, want, atol=1e-11)
 
-    def test_window_core_sweep_interpret(self, monkeypatch):
-        # force the Pallas window-kernel main sweep (interpret mode) by
-        # dropping the VMEM-scale threshold
+    @pytest.mark.parametrize("k", [1, 2])
+    def test_window_core_sweep_interpret(self, monkeypatch, k):
+        # force the Pallas main sweep (interpret mode) by dropping the
+        # VMEM-scale threshold: k=1 exercises the per-sweep window kernel,
+        # k=2 the K-fused multisweep window kernel with traced coords
         import neptune_tpu.parallel.sharded_apply as sa
         from neptune_tpu.config import config
         from neptune_tpu.parallel import shardmap_sweeps
@@ -388,10 +390,10 @@ class TestShardmapSweeps:
 
         cm = ntp.get_context().compiled()
         gm = GridMesh((2,), ("x",))
-        fk = shardmap_sweeps(cm, "lap2d", gm, 2)
+        fk = shardmap_sweeps(cm, "lap2d", gm, k)
         x = np.random.default_rng(9).standard_normal((n, n)).astype(np.float32)
         got = np.asarray(jax.jit(fk)(gm.shard(jnp.asarray(x))))
-        want = self._oracle(cm, "lap2d", x, 2)
+        want = self._oracle(cm, "lap2d", x, k)
         np.testing.assert_allclose(got, want, atol=1e-4)
 
     def test_rejects_too_deep_and_composite(self):
