@@ -405,3 +405,55 @@ class TestShardmapSweeps:
         # 16/8 = 2 local rows; k=3 strips would span >1 shard
         with pytest.raises(ValueError, match="not eligible"):
             shardmap_sweeps(cm, "lap2d", gm, 3)
+
+
+class TestShardedMultigrid:
+    """Geometric multigrid on mesh-sharded fields: the V-cycle's restrict
+    (block-mean reshape) and prolong (multilinear resize) partition under
+    GSPMD, the smoothers and matvecs shard like any elementwise/stencil
+    code, so the whole hierarchy runs distributed without MG-specific
+    communication code."""
+
+    def test_sharded_vcycle_and_mgcg(self):
+        import sys
+
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from test_multigrid import poisson_ops
+
+        from neptune_tpu.solvers import cg, mg_preconditioner, multigrid_solve
+
+        ops = poisson_ops([128, 64, 32, 16])
+        gm = GridMesh((4, 2), ("x", "y"))
+        rng = np.random.default_rng(0)
+        b = np.zeros((128, 128))
+        # interior-supported rhs: the copy-through system is nonsymmetric
+        # at the boundary ring (same convention as test_multigrid)
+        b[1:-1, 1:-1] = rng.standard_normal((126, 126))
+        bs = gm.shard(jnp.asarray(b))
+
+        x, info = multigrid_solve(ops, bs, tol=1e-9, maxiter=60)
+        assert bool(info.converged)
+        r = b - np.asarray(ops[0].matvec(jnp.asarray(np.asarray(x))))
+        assert np.linalg.norm(r) <= 1e-9 * np.linalg.norm(b) * 1.01
+
+        M = mg_preconditioner(ops, bs, smoother="cheb")
+
+        @jax.jit
+        def solve(bb):
+            return cg(ops[0].matvec, bb, M=M, tol=1e-8, maxiter=200)
+
+        x2, info2 = solve(bs)
+        assert bool(info2.converged)
+        assert int(info2.iters) < 40  # multigrid-rate, not CG-rate
+
+        # sharded == unsharded to fp roundoff
+        Mu = mg_preconditioner(ops, jnp.asarray(b), smoother="cheb")
+
+        @jax.jit
+        def solve_u(bb):
+            return cg(ops[0].matvec, bb, M=Mu, tol=1e-8, maxiter=200)
+
+        xu, _ = solve_u(jnp.asarray(b))
+        np.testing.assert_allclose(
+            np.asarray(x2), np.asarray(xu), atol=1e-14
+        )
