@@ -78,26 +78,38 @@ def _scalar_dtype(t: ScalarType):
 
 
 def shift_read(
-    arr: jnp.ndarray, offset: Sequence[int], periodic: bool = False
+    arr: jnp.ndarray, offset: Sequence[int], periodic=False
 ) -> jnp.ndarray:
     """view[i] = arr[i + offset].
 
-    periodic=True wraps torus-style (jnp.roll). periodic=False zero-fills the
-    out-of-range edge instead: those positions are unspecified by the apply
-    contract (the copy-through mask discards them), and the static slice+pad
-    fuses into the surrounding elementwise stencil on TPU where roll compiles
-    to a standalone relayout pass (measured 41 -> 150 Gcell/s on the sharded
-    5-pt sweep at 1024^2).
+    periodic (bool or per-dim sequence of bool): wrapped dims use torus-style
+    jnp.roll; the rest zero-fill the out-of-range edge instead — those
+    positions are unspecified by the apply contract (the copy-through mask
+    discards them), and the static slice+pad fuses into the surrounding
+    elementwise stencil on TPU where roll compiles to a standalone relayout
+    pass (measured 41 -> 150 Gcell/s on the sharded 5-pt sweep at 1024^2).
+    The sharded fused path wraps only UNSHARDED dims of periodic operators:
+    sharded dims' local wrap would be globally wrong, so they zero-fill and
+    the strip bands recompute their edge zones.
     """
     if all(o == 0 for o in offset):
         return arr
-    if periodic:
-        return jnp.roll(
-            arr, shift=tuple(-o for o in offset), axis=tuple(range(len(offset)))
+    if isinstance(periodic, bool):
+        flags = (periodic,) * len(offset)
+    else:
+        flags = tuple(periodic)
+    roll_shift = tuple(-o if f else 0 for o, f in zip(offset, flags))
+    if any(roll_shift):
+        arr = jnp.roll(
+            arr, shift=roll_shift, axis=tuple(range(len(offset)))
         )
+    if all(f or o == 0 for o, f in zip(offset, flags)):
+        return arr
     slices, pads = [], []
-    for d, o in enumerate(offset):
+    for d, (o, f) in enumerate(zip(offset, flags)):
         size = arr.shape[d]
+        if f:
+            o = 0
         o = max(-size, min(o, size))
         if o >= 0:
             slices.append(slice(o, size))

@@ -29,12 +29,21 @@ def _axis_size(name: str) -> int:
     return lax.axis_size(name)
 
 
-def halo_pad_local(u_loc, halo: Sequence[tuple[int, int]], axis_names: Sequence[str]):
+def halo_pad_local(
+    u_loc,
+    halo: Sequence[tuple[int, int]],
+    axis_names: Sequence[str],
+    periodic: bool = False,
+):
     """Inside shard_map: pad the local block with neighbor data per dim.
 
     halo[d] = (lo, hi) ghost widths for grid dim d; axis_names[d] is the mesh
     axis sharding that dim ('' / None = unsharded, pad with zeros only).
     Returns the extended local array of shape local + lo + hi per dim.
+
+    periodic=True gives torus semantics: the ring ppermute already wraps at
+    the mesh boundary, so the global-edge ghosts keep the wrapped data
+    instead of being zeroed, and unsharded dims pad with mode="wrap".
     """
     out = u_loc
     for d, (lo, hi) in enumerate(halo):
@@ -59,7 +68,7 @@ def halo_pad_local(u_loc, halo: Sequence[tuple[int, int]], axis_names: Sequence[
             ) if lo > 0 else None
             parts = []
             if lo > 0:
-                ghost_lo = jnp.where(
+                ghost_lo = recv_lo if periodic else jnp.where(
                     (idx == 0),
                     jnp.zeros_like(recv_lo),
                     recv_lo,
@@ -67,7 +76,7 @@ def halo_pad_local(u_loc, halo: Sequence[tuple[int, int]], axis_names: Sequence[
                 parts.append(ghost_lo)
             parts.append(out)
             if hi > 0:
-                ghost_hi = jnp.where(
+                ghost_hi = recv_hi if periodic else jnp.where(
                     (idx == n - 1),
                     jnp.zeros_like(recv_hi),
                     recv_hi,
@@ -77,7 +86,7 @@ def halo_pad_local(u_loc, halo: Sequence[tuple[int, int]], axis_names: Sequence[
         else:
             pad = [(0, 0)] * out.ndim
             pad[d] = (lo, hi)
-            out = jnp.pad(out, pad)
+            out = jnp.pad(out, pad, mode="wrap" if periodic else "constant")
     return out
 
 

@@ -270,6 +270,28 @@ def _eval_opdef_local(
     return out
 
 
+def _opdef_periodic(module: Module, name: str) -> bool:
+    """Whether the opdef's applies are periodic (torus). Mixed periodic and
+    bounded applies in one operator have no single exchange semantics."""
+    flags = set()
+
+    def scan(sym):
+        fn = module.lookup(sym)
+        for op in fn.body.ops:
+            if op.name == "neptune.apply":
+                flags.add(bool(op.attrs.get("periodic")))
+            elif op.name in ("neptune.apply_linear", "neptune.apply_nonlinear"):
+                scan(op.attrs["symbol"])
+
+    scan(name)
+    if len(flags) > 1:
+        raise NotImplementedError(
+            f"@{name} mixes periodic and bounded applies; sharded execution "
+            "needs a single exchange semantics"
+        )
+    return bool(flags) and flags.pop()
+
+
 def _single_apply(fn):
     """The opdef's single apply op, if the body is exactly {constants, one
     apply, return-of-that-apply's-results}; else None."""
@@ -299,8 +321,6 @@ def _fused_plan(fn, op, gmesh, names, tt, sweeps_k: int = 1):
     must carry sweeps_k times that, which the fit check accounts for."""
     rank = tt.bounds.rank
     n_in = op.attrs.get("num_inputs", len(op.operands))
-    if op.attrs.get("periodic"):
-        return None
     outer = op.results[0].type.bounds
     input_lbs = [v.type.bounds.lb for v in op.operands[:n_in]]
     arg_uids = {a.uid: i for i, a in enumerate(fn.body.args)}
@@ -379,6 +399,12 @@ def _shardmap_fused(cm, fn, op, gmesh, names, spec, tt, plan) -> Callable:
     need, scalar_vals, ret_index, arg_order = plan
     full_domain = bounds == outer
     n_args = len(fn.ftype.inputs)
+    periodic = bool(op.attrs.get("periodic"))
+    # torus ops: UNSHARDED dims wrap locally (local extent == global there);
+    # sharded dims zero-fill like before — their local wrap would be
+    # globally wrong, and the strip bands (whose ring ppermute wraps at the
+    # mesh edge, giving torus ghosts for free) recompute those edge zones
+    wrap = tuple(periodic and not names[d] for d in range(rank))
 
     def global_fn(*arrays):
         def local_fn(*locs):
@@ -408,7 +434,7 @@ def _shardmap_fused(cm, fn, op, gmesh, names, spec, tt, plan) -> Callable:
             core_bytes = dtype.itemsize
             for e in nloc:
                 core_bytes *= e
-            if core_bytes > _WINDOW_CORE_BYTES:
+            if core_bytes > _WINDOW_CORE_BYTES and not periodic:
                 from ..config import config
                 from ..lowering import pallas_backend
 
@@ -434,7 +460,9 @@ def _shardmap_fused(cm, fn, op, gmesh, names, spec, tt, plan) -> Callable:
             else:
 
                 def access_fn(k, offset):
-                    return jnp_backend.shift_read(inputs_loc[k], adj_of(k, offset))
+                    return jnp_backend.shift_read(
+                        inputs_loc[k], adj_of(k, offset), wrap
+                    )
 
                 ys = jnp_backend.eval_scalar_dag(
                     op.region(0), rank, n_in, access_fn, index_fn, scalar_vals
@@ -497,12 +525,16 @@ def _shardmap_fused(cm, fn, op, gmesh, names, spec, tt, plan) -> Callable:
                         s_lo = lax.ppermute(
                             ext_slice(k, d, nloc[d] - lo_n, nloc[d]), nm, fwd
                         )
-                        s_lo = jnp.where(idx == 0, jnp.zeros_like(s_lo), s_lo)
+                        if not periodic:
+                            s_lo = jnp.where(
+                                idx == 0, jnp.zeros_like(s_lo), s_lo
+                            )
                     if hi_n:
                         s_hi = lax.ppermute(ext_slice(k, d, 0, hi_n), nm, bwd)
-                        s_hi = jnp.where(
-                            idx == npart - 1, jnp.zeros_like(s_hi), s_hi
-                        )
+                        if not periodic:
+                            s_hi = jnp.where(
+                                idx == npart - 1, jnp.zeros_like(s_hi), s_hi
+                            )
                     strips[k][d] = (s_lo, s_hi)
 
             # ---- band fixups: recompute the rows whose stencil crossed a
@@ -546,7 +578,7 @@ def _shardmap_fused(cm, fn, op, gmesh, names, spec, tt, plan) -> Callable:
                         rest = tuple(
                             0 if e == d else adj[e] for e in range(rank)
                         )
-                        return jnp_backend.shift_read(v, rest)
+                        return jnp_backend.shift_read(v, rest, wrap)
 
                     def b_index(d2):
                         iv = lax.broadcasted_iota(jnp.int32, bshape, d2)
@@ -637,10 +669,15 @@ def shardmap_opdef(
                     cm, fn, apply_op, gmesh, names, spec, tt, plan
                 )
 
+    periodic = _opdef_periodic(cm.module, name)
+
     def global_fn(*arrays):
         def local_fn(*locs):
             local_shape = locs[0].shape
-            exts = [halo_pad_local(x, halo, names) for x in locs]
+            exts = [
+                halo_pad_local(x, halo, names, periodic=periodic)
+                for x in locs
+            ]
             ext_shape = exts[0].shape
             start = []
             for d in range(rank):
@@ -698,7 +735,8 @@ def shardmap_sweeps(
 
     Equivalent to K applications of `shardmap_opdef(...)` (same masks and
     copy-through semantics each sweep). Eligibility: unary single-result
-    single-apply opdefs, non-periodic, with K·reach fitting one shard;
+    single-apply opdefs (bounded or torus-periodic) with K·reach fitting
+    one shard;
     anything else raises ValueError.
     """
     if k < 1:
@@ -725,7 +763,7 @@ def shardmap_sweeps(
     if plan is None:
         raise ValueError(
             f"@{name} is not eligible for fused sharded sweeps at k={k} "
-            "(periodic, non-constant scalars, or K*reach exceeds a shard)"
+            "(non-constant scalars, or K*reach exceeds a shard)"
         )
     need, scalar_vals, ret_index, arg_order = plan
     spec = gmesh.pspec(rank)
@@ -737,6 +775,11 @@ def shardmap_sweeps(
     dtype = jnp.dtype(out_type.element)
     input_lbs = [v.type.bounds.lb for v in op.operands[:n_in]]
     full_domain = bounds == outer
+    periodic = bool(op.attrs.get("periodic"))
+    # torus ops: unsharded dims wrap locally each sweep; sharded dims
+    # zero-fill and rely on the band fixups (whose ring ppermute wraps at
+    # the mesh edge, giving torus ghosts for free)
+    wrap = tuple(periodic and not names[d] for d in range(rank))
 
     def global_fn(x):
         def local_fn(xl):
@@ -757,7 +800,7 @@ def shardmap_sweeps(
             # per-dim global index bases (shape-preserving)
             def sweep_block(u, bases, shape):
                 def access_fn(_k, offset):
-                    return jnp_backend.shift_read(u, adj_of(offset))
+                    return jnp_backend.shift_read(u, adj_of(offset), wrap)
 
                 def index_fn(d):
                     iv = lax.broadcasted_iota(jnp.int32, shape, d)
@@ -786,7 +829,7 @@ def shardmap_sweeps(
             for e in nloc:
                 core_bytes *= e
             y = None
-            if core_bytes > _WINDOW_CORE_BYTES:
+            if core_bytes > _WINDOW_CORE_BYTES and not periodic:
                 from ..config import config
                 from ..lowering import pallas_backend, pallas_multisweep
 
@@ -853,10 +896,14 @@ def shardmap_sweeps(
                     s_lo = lax.ppermute(
                         ext_slice(d, nloc[d] - lo_n, nloc[d]), nm, fwd
                     )
-                    s_lo = jnp.where(idx == 0, jnp.zeros_like(s_lo), s_lo)
+                    if not periodic:
+                        s_lo = jnp.where(idx == 0, jnp.zeros_like(s_lo), s_lo)
                 if hi_n:
                     s_hi = lax.ppermute(ext_slice(d, 0, hi_n), nm, bwd)
-                    s_hi = jnp.where(idx == npart - 1, jnp.zeros_like(s_hi), s_hi)
+                    if not periodic:
+                        s_hi = jnp.where(
+                            idx == npart - 1, jnp.zeros_like(s_hi), s_hi
+                        )
                 strips[d] = (s_lo, s_hi)
 
             # ---- K-sweep trapezoid band fixups ----
