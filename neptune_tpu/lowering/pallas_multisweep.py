@@ -362,13 +362,36 @@ def execute_sweeps(
         )
     plan = sweeps_plan(module, name, k)
     assert plan is not None, "execute_sweeps on an ineligible opdef"
-    op: Operation = plan["op"]
+    return _sweeps_window_impl(
+        plan["op"], x, scalars, k, plan, global_start=None, interpret=interpret
+    )
+
+
+def _sweeps_window_impl(
+    op: Operation,
+    x,
+    scalars: Sequence,
+    k: int,
+    plan: dict,
+    *,
+    global_start=None,
+    interpret: bool = False,
+):
+    """The K-fused rolling-window kernel, shared between the whole-grid and
+    sharded-local entry points.
+
+    global_start=None: static coordinate bases (outer.lb folds into the
+    iotas — the whole-grid case). Otherwise a sequence of traced int32
+    global coordinates of row 0 per dim, fed through SMEM scalars (the
+    shard_map case, where each shard sees a different window and the
+    copy-through masks must be computed against runtime coordinates).
+    """
     slab, hp, win = plan["slab"], plan["hp"], plan["win"]
+    shape = tuple(x.shape)
 
     out_type: TempType = op.results[0].type
     bounds: Bounds = op.attrs["bounds"]
     outer = out_type.bounds
-    shape = outer.shape
     rank = len(shape)
     wshape = (win,) + shape[1:]
     dtype = jnp.dtype(out_type.element)
@@ -376,13 +399,15 @@ def execute_sweeps(
     body = op.region(0)
     full_domain = bounds == outer
     n_scalars = len(scalars)
+    n_start = 0 if global_start is None else rank
 
     def kernel(*refs):
         hbm_ref = refs[0]
-        scalar_refs = refs[1 : 1 + n_scalars]
-        out_ref = refs[1 + n_scalars]
-        scratch = refs[2 + n_scalars]  # (2,) + wshape VMEM
-        sems = refs[3 + n_scalars]  # (2,) DMA semaphores
+        start_refs = refs[1 : 1 + n_start]
+        scalar_refs = refs[1 + n_start : 1 + n_start + n_scalars]
+        out_ref = refs[1 + n_start + n_scalars]
+        scratch = refs[2 + n_start + n_scalars]  # (2,) + wshape VMEM
+        sems = refs[3 + n_start + n_scalars]  # (2,) DMA semaphores
 
         i = pl.program_id(0)
 
@@ -423,11 +448,16 @@ def execute_sweeps(
         v = scratch[i % 2]
         v = pltpu.roll(v, ((-delta) % win).astype(jnp.int32), axis=0)
 
+        def base_of(d):
+            if global_start is None:
+                return jnp.int32(outer.lb[d])
+            return start_refs[d][0, 0]
+
         def global_iota(d):
             iv = jax.lax.broadcasted_iota(jnp.int32, wshape, d)
             if d == 0:
-                return iv + i * slab - jnp.int32(hp) + outer.lb[0]
-            return iv + outer.lb[d]
+                return iv + i * slab - jnp.int32(hp) + base_of(0)
+            return iv + base_of(d)
 
         if full_domain:
             mask = None
@@ -462,7 +492,7 @@ def execute_sweeps(
         out_ref[...] = jax.lax.slice_in_dim(v, hp, hp + slab, axis=0)
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
-    for _ in range(n_scalars):
+    for _ in range(n_start + n_scalars):
         in_specs.append(
             pl.BlockSpec(
                 (1, 1),
@@ -488,6 +518,11 @@ def execute_sweeps(
     )
 
     call_inputs = [jnp.asarray(x, dtype)]
+    if global_start is not None:
+        for d in range(rank):
+            call_inputs.append(
+                jnp.asarray(global_start[d], jnp.int32).reshape(1, 1)
+            )
     call_inputs.extend(jnp.asarray(s).reshape(1, 1) for s in scalars)
     kwargs = {}
     est_bytes = math.prod(shape[1:]) * dtype.itemsize * (7 * slab + 10 * hp)
@@ -510,6 +545,7 @@ def execute_sweeps(
         interpret=interpret,
         **kwargs,
     )(*call_inputs)
+
 
 
 # ---------------------------------------------------------------------------
@@ -562,6 +598,7 @@ def local_window_plan(op: Operation, shape, k: int) -> Optional[dict]:
     return {"slab": slab, "hp": hp, "win": win, "h0": h0}
 
 
+
 def execute_sweeps_window_local(
     op: Operation,
     x,
@@ -576,147 +613,8 @@ def execute_sweeps_window_local(
     global_start[d]: traced int32 global logical coordinate of core row 0.
     Caller must have checked `local_window_plan(op, x.shape, k)`.
     """
-    shape = tuple(x.shape)
-    plan = local_window_plan(op, shape, k)
+    plan = local_window_plan(op, tuple(x.shape), k)
     assert plan is not None, "execute_sweeps_window_local on ineligible input"
-    slab, hp, win = plan["slab"], plan["hp"], plan["win"]
-
-    out_type: TempType = op.results[0].type
-    bounds: Bounds = op.attrs["bounds"]
-    outer = out_type.bounds
-    rank = len(shape)
-    wshape = (win,) + shape[1:]
-    dtype = jnp.dtype(out_type.element)
-    n_slabs = shape[0] // slab
-    body = op.region(0)
-    full_domain = bounds == outer
-    n_scalars = len(scalars)
-
-    def kernel(*refs):
-        hbm_ref = refs[0]
-        start_refs = refs[1 : 1 + rank]
-        scalar_refs = refs[1 + rank : 1 + rank + n_scalars]
-        out_ref = refs[1 + rank + n_scalars]
-        scratch = refs[2 + rank + n_scalars]
-        sems = refs[3 + rank + n_scalars]
-
-        i = pl.program_id(0)
-
-        def window_start(step):
-            ideal = step * slab - hp
-            w = jnp.clip(
-                ideal, jnp.int32(0), jnp.int32(shape[0] - win)
-            ).astype(jnp.int32)
-            return pl.multiple_of(w, 8)
-
-        def start_fetch(step, slot):
-            pltpu.make_async_copy(
-                hbm_ref.at[pl.ds(window_start(step), win)],
-                scratch.at[slot],
-                sems.at[slot],
-            ).start()
-
-        @pl.when(i == 0)
-        def _():
-            start_fetch(jnp.int32(0), 0)
-
-        @pl.when(i + 1 < n_slabs)
-        def _():
-            start_fetch(i + 1, (i + 1) % 2)
-
-        pltpu.make_async_copy(
-            hbm_ref.at[pl.ds(jnp.int32(0), win)],
-            scratch.at[i % 2],
-            sems.at[i % 2],
-        ).wait()
-
-        w = window_start(i)
-        delta = (i * slab - jnp.int32(hp)) - w
-        v = scratch[i % 2]
-        v = pltpu.roll(v, ((-delta) % win).astype(jnp.int32), axis=0)
-
-        def global_iota(d):
-            iv = jax.lax.broadcasted_iota(jnp.int32, wshape, d)
-            if d == 0:
-                return iv + i * slab - jnp.int32(hp) + start_refs[0][0, 0]
-            return iv + start_refs[d][0, 0]
-
-        if full_domain:
-            mask = None
-        else:
-            mask = None
-            for d in range(rank):
-                iv = global_iota(d)
-                md = (iv >= bounds.lb[d]) & (iv < bounds.ub[d])
-                mask = md if mask is None else (mask & md)
-
-        scalar_vals = [r[0, 0] for r in scalar_refs]
-
-        for _sweep in range(k):
-            src = v
-
-            def access_fn(_k, offset, src=src):
-                s = src
-                for d in range(rank):
-                    if offset[d]:
-                        size = win if d == 0 else shape[d]
-                        s = pltpu.roll(
-                            s, jnp.int32((-offset[d]) % size), axis=d
-                        )
-                return s
-
-            y = jnp_backend.eval_scalar_dag(
-                body, rank, 1, access_fn, global_iota, scalar_vals
-            )[0]
-            y = jnp.broadcast_to(jnp.asarray(y, dtype), wshape)
-            v = y if mask is None else jnp.where(mask, y, src)
-
-        out_ref[...] = jax.lax.slice_in_dim(v, hp, hp + slab, axis=0)
-
-    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
-    for _ in range(rank + n_scalars):
-        in_specs.append(
-            pl.BlockSpec(
-                (1, 1),
-                lambda i: (jnp.int32(0), jnp.int32(0)),
-                memory_space=pltpu.SMEM,
-            )
-        )
-    out_spec = pl.BlockSpec(
-        (slab,) + shape[1:],
-        lambda i: (jnp.asarray(i, jnp.int32),) + (jnp.int32(0),) * (rank - 1),
-        memory_space=pltpu.VMEM,
+    return _sweeps_window_impl(
+        op, x, scalars, k, plan, global_start=global_start, interpret=interpret
     )
-    scratch_shapes = [
-        pltpu.VMEM((2,) + wshape, dtype),
-        pltpu.SemaphoreType.DMA((2,)),
-    ]
-
-    n_offsets = len(set(op.attrs["shape"].offsets)) or 1
-    cost = pl.CostEstimate(
-        flops=2 * n_offsets * k * math.prod(shape),
-        bytes_accessed=2 * math.prod(shape) * dtype.itemsize,
-        transcendentals=0,
-    )
-
-    call_inputs = [jnp.asarray(x, dtype)]
-    for d in range(rank):
-        call_inputs.append(jnp.asarray(global_start[d], jnp.int32).reshape(1, 1))
-    call_inputs.extend(jnp.asarray(s).reshape(1, 1) for s in scalars)
-    kwargs = {}
-    est_bytes = math.prod(shape[1:]) * dtype.itemsize * (7 * slab + 10 * hp)
-    if not interpret and est_bytes > 14 * 1024 * 1024:
-        kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
-        )
-    return pl.pallas_call(
-        kernel,
-        grid=(n_slabs,),
-        in_specs=in_specs,
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct(shape, dtype),
-        scratch_shapes=scratch_shapes,
-        cost_estimate=cost,
-        interpret=interpret,
-        **kwargs,
-    )(*call_inputs)

@@ -370,6 +370,82 @@ def _fused_plan(fn, op, gmesh, names, tt, sweeps_k: int = 1):
     return need, scalar_vals, ret_index, arg_order
 
 
+
+def _strip_exchange(inputs_loc, nloc, rank, names, need_k, periodic):
+    """ppermute (lo, hi) ghost strips per input per sharded dim, processed
+    in dim order so a later dim's strips are cut from the earlier dims'
+    extended edges (strips-of-strips — the two-step corner exchange).
+
+    need_k[d] = (lo, hi) ghost depth to exchange in dim d (already scaled
+    by the sweep count for the K-sweep path). Non-periodic strips are
+    zeroed at the global domain edge; periodic ones keep the ring-wrapped
+    data (torus ghosts). Returns (strips, ext_slice, sharded_dims) where
+    strips[k][d] = (s_lo, s_hi) and ext_slice(k, d, start, stop) cuts core
+    input k to [start, stop) along d extended along every already-exchanged
+    dim e < d.
+    """
+    strips = [dict() for _ in inputs_loc]
+
+    def ext_slice(k, d, start, stop):
+        def cut(a):
+            return lax.slice_in_dim(a, start, stop, axis=d)
+
+        out = cut(inputs_loc[k])
+        for e in range(d):
+            if e in strips[k]:
+                s_lo, s_hi = strips[k][e]
+                parts = []
+                if s_lo is not None:
+                    parts.append(cut(s_lo))
+                parts.append(out)
+                if s_hi is not None:
+                    parts.append(cut(s_hi))
+                if len(parts) > 1:
+                    out = jnp.concatenate(parts, axis=e)
+        return out
+
+    sharded_dims = []
+    for d in range(rank):
+        lo_n, hi_n = need_k[d]
+        nm = names[d]
+        if not nm or (lo_n == 0 and hi_n == 0):
+            continue
+        sharded_dims.append(d)
+        idx = lax.axis_index(nm)
+        npart = lax.axis_size(nm)
+        fwd = [((i - 1) % npart, i) for i in range(npart)]
+        bwd = [((i + 1) % npart, i) for i in range(npart)]
+        for k in range(len(inputs_loc)):
+            s_lo = s_hi = None
+            if lo_n:
+                s_lo = lax.ppermute(
+                    ext_slice(k, d, nloc[d] - lo_n, nloc[d]), nm, fwd
+                )
+                if not periodic:
+                    s_lo = jnp.where(idx == 0, jnp.zeros_like(s_lo), s_lo)
+            if hi_n:
+                s_hi = lax.ppermute(ext_slice(k, d, 0, hi_n), nm, bwd)
+                if not periodic:
+                    s_hi = jnp.where(
+                        idx == npart - 1, jnp.zeros_like(s_hi), s_hi
+                    )
+            strips[k][d] = (s_lo, s_hi)
+    return strips, ext_slice, sharded_dims
+
+
+def _stitch_band(ext_slice, strips, k, d, side, lo_n, hi_n, nloc):
+    """The strip-stitched band array for input k along dim d: ghost strip +
+    the adjacent core rows (extended along dims < d), covering the edge
+    zone plus every row its recomputation reads."""
+    s_lo, s_hi = strips[k][d]
+    if side == "lo":
+        parts = [s_lo, ext_slice(k, d, 0, lo_n + hi_n)]
+    else:
+        parts = [ext_slice(k, d, nloc[d] - (lo_n + hi_n), nloc[d]), s_hi]
+    parts = [p for p in parts if p is not None]
+    return jnp.concatenate(parts, axis=d) if len(parts) > 1 else parts[0]
+
+
 def _shardmap_fused(cm, fn, op, gmesh, names, spec, tt, plan) -> Callable:
     """Fused sharded single-apply execution: zero-ghost main sweep + thin
     band fixups.
@@ -485,57 +561,9 @@ def _shardmap_fused(cm, fn, op, gmesh, names, spec, tt, plan) -> Callable:
                     outs.append(y)
 
             # ---- strip exchange (per input, per sharded dim, in order) ----
-            strips = [dict() for _ in range(n_in)]
-
-            def ext_slice(k, d, start, stop):
-                """Core input k sliced to [start, stop) along d, extended
-                along every already-exchanged dim e < d."""
-
-                def cut(a):
-                    return lax.slice_in_dim(a, start, stop, axis=d)
-
-                out = cut(inputs_loc[k])
-                for e in range(d):
-                    if e in strips[k]:
-                        s_lo, s_hi = strips[k][e]
-                        parts = []
-                        if s_lo is not None:
-                            parts.append(cut(s_lo))
-                        parts.append(out)
-                        if s_hi is not None:
-                            parts.append(cut(s_hi))
-                        if len(parts) > 1:
-                            out = jnp.concatenate(parts, axis=e)
-                return out
-
-            sharded_dims = []
-            for d in range(rank):
-                lo_n, hi_n = need[d]
-                nm = names[d]
-                if not nm or (lo_n == 0 and hi_n == 0):
-                    continue
-                sharded_dims.append(d)
-                idx = lax.axis_index(nm)
-                npart = lax.axis_size(nm)
-                fwd = [((i - 1) % npart, i) for i in range(npart)]
-                bwd = [((i + 1) % npart, i) for i in range(npart)]
-                for k in range(n_in):
-                    s_lo = s_hi = None
-                    if lo_n:
-                        s_lo = lax.ppermute(
-                            ext_slice(k, d, nloc[d] - lo_n, nloc[d]), nm, fwd
-                        )
-                        if not periodic:
-                            s_lo = jnp.where(
-                                idx == 0, jnp.zeros_like(s_lo), s_lo
-                            )
-                    if hi_n:
-                        s_hi = lax.ppermute(ext_slice(k, d, 0, hi_n), nm, bwd)
-                        if not periodic:
-                            s_hi = jnp.where(
-                                idx == npart - 1, jnp.zeros_like(s_hi), s_hi
-                            )
-                    strips[k][d] = (s_lo, s_hi)
+            strips, ext_slice, sharded_dims = _strip_exchange(
+                inputs_loc, nloc, rank, names, need, periodic
+            )
 
             # ---- band fixups: recompute the rows whose stencil crossed a
             # shard edge, from thin strip-stitched bands ----
@@ -545,22 +573,12 @@ def _shardmap_fused(cm, fn, op, gmesh, names, spec, tt, plan) -> Callable:
                     out_w = lo_n if side == "lo" else hi_n
                     if out_w == 0:
                         continue
-                    band_in = []
-                    for k in range(n_in):
-                        s_lo, s_hi = strips[k][d]
-                        if side == "lo":
-                            parts = [s_lo, ext_slice(k, d, 0, lo_n + hi_n)]
-                        else:
-                            parts = [
-                                ext_slice(k, d, nloc[d] - (lo_n + hi_n), nloc[d]),
-                                s_hi,
-                            ]
-                        parts = [p for p in parts if p is not None]
-                        band_in.append(
-                            jnp.concatenate(parts, axis=d)
-                            if len(parts) > 1
-                            else parts[0]
+                    band_in = [
+                        _stitch_band(
+                            ext_slice, strips, k, d, side, lo_n, hi_n, nloc
                         )
+                        for k in range(n_in)
+                    ]
                     ghost = lo_n
                     d0_core = 0 if side == "lo" else nloc[d] - out_w
                     bshape = list(band_in[0].shape)
@@ -713,9 +731,14 @@ def shardmap_opdef(
 
 
 def shardmap_sweeps(
-    cm, name: str, gmesh: GridMesh, k: int, backend: str = "jnp"
+    cm, name: str, gmesh: GridMesh, k: int, backend: str = "auto"
 ) -> Callable:
     """K fused relaxation sweeps per halo exchange (communication-avoiding).
+
+    backend: "auto" (default) routes the main K-loop by core size
+    (multisweep window kernel > per-sweep window kernel > fused XLA jnp);
+    "jnp" forces the pure-XLA chain (e.g. to compare, or to rule the Pallas
+    kernels out of a numerical repro).
 
     The sharded analog of `cm.sweeps(name, k)`: instead of K alternating
     (exchange, sweep) rounds, each call exchanges K-deep ghost strips ONCE
@@ -741,6 +764,10 @@ def shardmap_sweeps(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    if backend not in ("auto", "jnp"):
+        raise ValueError(
+            f"shardmap_sweeps backend must be 'auto' or 'jnp' (got {backend!r})"
+        )
     fn = cm.module.lookup(name)
     halo = fn.attrs.get("halo")
     if halo is None:
@@ -829,7 +856,11 @@ def shardmap_sweeps(
             for e in nloc:
                 core_bytes *= e
             y = None
-            if core_bytes > _WINDOW_CORE_BYTES and not periodic:
+            if (
+                backend == "auto"
+                and core_bytes > _WINDOW_CORE_BYTES
+                and not periodic
+            ):
                 from ..config import config
                 from ..lowering import pallas_backend, pallas_multisweep
 
@@ -860,84 +891,34 @@ def shardmap_sweeps(
                     y = sweep_block(y, gstart, nloc)
 
             # ---- K-deep strip exchange (strips of strips for corners) ----
-            strips: dict = {}
-
-            def ext_slice(d, start, stop):
-                def cut(a):
-                    return lax.slice_in_dim(a, start, stop, axis=d)
-
-                out = cut(xl)
-                for e in range(d):
-                    if e in strips:
-                        s_lo, s_hi = strips[e]
-                        parts = []
-                        if s_lo is not None:
-                            parts.append(cut(s_lo))
-                        parts.append(out)
-                        if s_hi is not None:
-                            parts.append(cut(s_hi))
-                        if len(parts) > 1:
-                            out = jnp.concatenate(parts, axis=e)
-                return out
-
-            sharded_dims = []
-            for d in range(rank):
-                lo_n, hi_n = k * need[d][0], k * need[d][1]
-                nm = names[d]
-                if not nm or (lo_n == 0 and hi_n == 0):
-                    continue
-                sharded_dims.append(d)
-                idx = lax.axis_index(nm)
-                npart = lax.axis_size(nm)
-                fwd = [((i - 1) % npart, i) for i in range(npart)]
-                bwd = [((i + 1) % npart, i) for i in range(npart)]
-                s_lo = s_hi = None
-                if lo_n:
-                    s_lo = lax.ppermute(
-                        ext_slice(d, nloc[d] - lo_n, nloc[d]), nm, fwd
-                    )
-                    if not periodic:
-                        s_lo = jnp.where(idx == 0, jnp.zeros_like(s_lo), s_lo)
-                if hi_n:
-                    s_hi = lax.ppermute(ext_slice(d, 0, hi_n), nm, bwd)
-                    if not periodic:
-                        s_hi = jnp.where(
-                            idx == npart - 1, jnp.zeros_like(s_hi), s_hi
-                        )
-                strips[d] = (s_lo, s_hi)
+            need_k = [(k * lo, k * hi) for lo, hi in need]
+            strips_all, ext_slice_k, sharded_dims = _strip_exchange(
+                [xl], nloc, rank, names, need_k, periodic
+            )
+            strips = strips_all[0]
 
             # ---- K-sweep trapezoid band fixups ----
             for d in sharded_dims:
-                lo1, hi1 = need[d]
-                lo_n, hi_n = k * lo1, k * hi1
+                lo_n, hi_n = need_k[d]
                 for side in ("lo", "hi"):
                     out_w = lo_n if side == "lo" else hi_n
                     if out_w == 0:
                         continue
-                    s_lo, s_hi = strips[d]
                     if side == "lo":
-                        parts = [s_lo, ext_slice(d, 0, lo_n + hi_n)]
                         base_d = gstart[d] - lo_n
                         d0_core = 0
                     else:
-                        parts = [
-                            ext_slice(d, nloc[d] - (lo_n + hi_n), nloc[d]),
-                            s_hi,
-                        ]
                         base_d = gstart[d] + nloc[d] - (lo_n + hi_n)
                         d0_core = nloc[d] - out_w
-                    parts = [p for p in parts if p is not None]
-                    band = (
-                        jnp.concatenate(parts, axis=d)
-                        if len(parts) > 1
-                        else parts[0]
+                    band = _stitch_band(
+                        ext_slice_k, strips_all, 0, d, side, lo_n, hi_n, nloc
                     )
                     bases = []
                     for d2 in range(rank):
                         if d2 == d:
                             bases.append(base_d)
                         elif d2 < d and d2 in strips:
-                            bases.append(gstart[d2] - k * need[d2][0])
+                            bases.append(gstart[d2] - need_k[d2][0])
                         else:
                             bases.append(gstart[d2])
                     bshape = band.shape
@@ -950,7 +931,7 @@ def shardmap_sweeps(
                     for e in range(d):
                         if e in strips:
                             sl[e] = slice(
-                                k * need[e][0], k * need[e][0] + nloc[e]
+                                need_k[e][0], need_k[e][0] + nloc[e]
                             )
                     fix = fix[tuple(sl)]
                     pos = tuple(d0_core if e == d else 0 for e in range(rank))
