@@ -597,3 +597,34 @@ class TestShardedNonlinearAndDriver:
         resumed, nr = drv3.run({"u": gm.shard(jnp.asarray(u0))}, n_steps=12)
         assert nr == 12
         np.testing.assert_allclose(resumed["u"], full["u"], atol=1e-12)
+
+
+class TestCommunicationVolume:
+    """Pin the communication structure by counting collectives in the
+    jaxpr: the fused strip path does one ppermute per (sharded dim, side)
+    per application, and shardmap_sweeps does 1/K of the naive loop."""
+
+    def test_ppermute_counts(self):
+        from neptune_tpu.parallel import shardmap_opdef, shardmap_sweeps
+
+        n = 64
+        make_lap2d(n)
+        cm = ntp.get_context().compiled()
+        gm = GridMesh((4, 2), ("x", "y"))
+        x = gm.shard(jnp.zeros((n, n)))
+
+        def count(fn, *args):
+            return str(jax.make_jaxpr(fn)(*args)).count("ppermute")
+
+        mv = shardmap_opdef(cm, "lap2d", gm)
+        # 2 sharded dims x 2 sides
+        assert count(mv, x) == 4
+
+        def four(v):
+            for _ in range(4):
+                v = mv(v)
+            return v
+
+        assert count(four, x) == 16
+        fk = shardmap_sweeps(cm, "lap2d", gm, 4)
+        assert count(fk, x) == 4  # K sweeps, ONE exchange
