@@ -1,0 +1,341 @@
+"""Communication-avoiding Chebyshev: K solver iterations per halo exchange.
+
+Chebyshev iteration is already reduction-free (`solvers.chebyshev`: no inner
+products in the loop), so on a device mesh its only per-iteration
+collectives are the matvec's halo ppermutes. This module removes those too:
+the whole (x, r, d) recurrence advances K iterations per ghost exchange via
+the same overlapping-trapezoid scheme as `shardmap_sweeps`.
+
+Why it works: per iteration, d and x update POINTWISE (z = M r is diagonal,
+the d/x axpys are elementwise) — only `r <- r - A d` reads neighbors. Shard-
+edge corruption therefore spreads exactly one stencil reach per iteration
+through the r<-d coupling, so after K zero-ghost iterations on the local
+core only the K·reach edge zones are wrong, and they are recomputed exactly
+from strip-stitched bands of the chunk-start state (x, r, d — all three
+fields' ghost values enter the band recurrence) plus the diagonal
+preconditioner's ghosts (exchanged once per solve; it is iteration-
+constant). The Chebyshev scalars (rho recurrence) are mesh-replicated and
+replayed identically inside each band.
+
+Communication: ceil(maxiter/K) exchanges of 3 K-deep field strips instead
+of maxiter exchanges of one reach-deep strip — the per-iteration ICI
+latency floor drops by ~K (ghost bytes grow 3x, which is noise next to the
+latency win), and the exchanges within a chunk have no serial dependency.
+
+No reference counterpart (the reference has no distributed execution at
+all, SURVEY.md §2.8); the algorithm family is the s-step/CA-Krylov line of
+work, which TPU meshes reward because collective latency, not bandwidth,
+bounds small-iteration solvers.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+from jax import lax
+from jax import shard_map
+
+from ..ir.types import Bounds, TempType
+from ..lowering import jnp_backend
+from ..solvers.krylov import SolveInfo
+from .mesh import GridMesh
+from .sharded_apply import (
+    _fused_plan,
+    _single_apply,
+    _stitch_band,
+    _strip_exchange,
+)
+
+
+def chebyshev_sharded(
+    cm,
+    name: str,
+    gmesh: GridMesh,
+    *,
+    lam_min,
+    lam_max,
+    k_fuse: int = 8,
+    maxiter: int = 96,
+    tol: float = 1e-6,
+    inv_diag=None,
+) -> Callable:
+    """Build a jittable communication-avoiding Chebyshev solve for A = @name.
+
+    Returns solve(b) -> (x, SolveInfo). lam_min/lam_max bound the spectrum
+    of (M A) with M = diag(inv_diag) (or identity); estimate them with
+    `solvers.chebyshev.estimate_spectrum` over a `shardmap_opdef` matvec if
+    unknown. maxiter rounds up to a multiple of k_fuse; the residual norm is
+    reduced ONCE at the end (the solve loop itself is collective-free apart
+    from the per-chunk strip ppermutes).
+    """
+    if k_fuse < 1:
+        raise ValueError("k_fuse must be >= 1")
+    fn = cm.module.lookup(name)
+    tt: TempType = fn.ftype.inputs[0]
+    rank = tt.bounds.rank
+    if len(fn.ftype.inputs) != 1 or len(fn.ftype.results) != 1:
+        raise ValueError("chebyshev_sharded needs a unary, single-result opdef")
+    op = _single_apply(fn)
+    if op is None:
+        raise ValueError("chebyshev_sharded needs a single-apply opdef body")
+    names = list(gmesh.axis_names[:rank]) + [None] * (
+        rank - len(gmesh.axis_names)
+    )
+    plan = _fused_plan(fn, op, gmesh, names, tt, sweeps_k=k_fuse)
+    if plan is None:
+        raise ValueError(
+            f"@{name} is not eligible at k_fuse={k_fuse} "
+            "(non-constant scalars, or K*reach exceeds a shard)"
+        )
+    need, scalar_vals, _ret_index, _arg_order = plan
+    spec = gmesh.pspec(rank)
+
+    out_type: TempType = op.results[0].type
+    outer = out_type.bounds
+    bounds: Bounds = op.attrs["bounds"]
+    dtype = jnp.dtype(out_type.element)
+    full_domain = bounds == outer
+    periodic = bool(op.attrs.get("periodic"))
+    wrap = tuple(periodic and not names[d] for d in range(rank))
+    input_lb = op.operands[0].type.bounds.lb
+
+    n_chunks = -(-maxiter // k_fuse)
+    theta = 0.5 * (lam_max + lam_min)
+    delta = 0.5 * (lam_max - lam_min)
+    sigma1 = theta / delta
+
+    def global_fn(b):
+        def local_fn(bl, idl):
+            nloc = bl.shape
+            gstart = []
+            for d in range(rank):
+                nm = names[d]
+                base = lax.axis_index(nm) * nloc[d] if nm else jnp.int32(0)
+                gstart.append(
+                    jnp.asarray(base, jnp.int32) + jnp.int32(outer.lb[d])
+                )
+
+            def adj_of(offset):
+                return tuple(
+                    o + (lb_o - lb_i)
+                    for o, lb_o, lb_i in zip(offset, outer.lb, input_lb)
+                )
+
+            def matvec_block(u, bases, shape):
+                """One zero-ghost masked apply of A over an arbitrary block."""
+
+                def access_fn(_k, offset):
+                    return jnp_backend.shift_read(u, adj_of(offset), wrap)
+
+                def index_fn(d):
+                    iv = lax.broadcasted_iota(jnp.int32, shape, d)
+                    return iv + bases[d]
+
+                ys = jnp_backend.eval_scalar_dag(
+                    op.region(0), rank, 1, access_fn, index_fn, scalar_vals
+                )
+                y = jnp.broadcast_to(jnp.asarray(ys[0], dtype), shape)
+                if not full_domain:
+                    mask = None
+                    for d in range(rank):
+                        iv = index_fn(d)
+                        m = (iv >= bounds.lb[d]) & (iv < bounds.ub[d])
+                        mask = m if mask is None else (mask & m)
+                    y = jnp.where(mask, y, u.astype(dtype))
+                return y
+
+            def Mz(r, idiag):
+                return r if idiag is None else idiag * r
+
+            def k_iters(x, r, d, rho_prev, idiag, bases, shape):
+                """K Chebyshev iterations with the zero-ghost local matvec."""
+                for _ in range(k_fuse):
+                    z = Mz(r, idiag)
+                    rho = 1.0 / (2.0 * sigma1 - rho_prev)
+                    d = (2.0 * rho / delta) * z + (rho * rho_prev) * d
+                    x = x + d
+                    r = r - matvec_block(d, bases, shape)
+                    rho_prev = rho
+                return x, r, d, rho_prev
+
+            # ---- initial step (matches solvers.chebyshev's first move) ----
+            # r0 = b - A*0 = b; d0 = z0/theta; x1 = d0; r1 = r0 - A d0.
+            # A d0 is a single sharded application: main + band fixup at
+            # 1x reach via the generic machinery would duplicate code; since
+            # d0 = M b / theta is pointwise in b, exchange d0's strips
+            # directly instead.
+            z0 = Mz(bl, idl)
+            d0 = z0 / theta
+            x = d0
+            sd_strips, sd_ext, sd_dims = _strip_exchange(
+                [d0], nloc, rank, names, need, periodic
+            )
+            Ad0 = matvec_block(d0, gstart, nloc)
+            Ad0 = _band_fix_apply(
+                matvec_block,
+                [d0],
+                [Ad0],
+                sd_strips,
+                sd_ext,
+                sd_dims,
+                need,
+                nloc,
+                rank,
+                gstart,
+            )[0]
+            r = bl - Ad0
+            # concrete dtype for the fori_loop carry (weak-typed python
+            # scalars would change type after one chunk)
+            rho_prev = jnp.asarray(1.0 / sigma1, dtype)
+
+            # ---- chunked CA loop (fori_loop: one traced chunk body) ----
+            need_k = [(k_fuse * lo, k_fuse * hi) for lo, hi in need]
+
+            def chunk_body(_, carry):
+                x, r, d0, rho_prev = carry
+                fields = [x, r, d0] + ([] if idl is None else [idl])
+                strips, ext_slice, sharded_dims = _strip_exchange(
+                    fields, nloc, rank, names, need_k, periodic
+                )
+                xm, rm, dm, rhom = k_iters(
+                    x, r, d0, rho_prev, idl, gstart, nloc
+                )
+                # band fixups: replay the K iterations on strip-stitched
+                # bands of the chunk-start state
+                for d_dim in sharded_dims:
+                    lo_n, hi_n = need_k[d_dim]
+                    for side in ("lo", "hi"):
+                        out_w = lo_n if side == "lo" else hi_n
+                        if out_w == 0:
+                            continue
+                        bx, br, bd = (
+                            _stitch_band(
+                                ext_slice, strips, fi, d_dim, side,
+                                lo_n, hi_n, nloc,
+                            )
+                            for fi in range(3)
+                        )
+                        bid = (
+                            _stitch_band(
+                                ext_slice, strips, 3, d_dim, side,
+                                lo_n, hi_n, nloc,
+                            )
+                            if idl is not None
+                            else None
+                        )
+                        if side == "lo":
+                            base_d = gstart[d_dim] - lo_n
+                            d0_core = 0
+                        else:
+                            base_d = (
+                                gstart[d_dim] + nloc[d_dim] - (lo_n + hi_n)
+                            )
+                            d0_core = nloc[d_dim] - out_w
+                        bases = []
+                        for d2 in range(rank):
+                            if d2 == d_dim:
+                                bases.append(base_d)
+                            elif d2 < d_dim and d2 in strips[0]:
+                                bases.append(gstart[d2] - need_k[d2][0])
+                            else:
+                                bases.append(gstart[d2])
+                        bshape = bx.shape
+                        fx, fr, fd, _ = k_iters(
+                            bx.astype(dtype),
+                            br.astype(dtype),
+                            bd.astype(dtype),
+                            rho_prev,
+                            bid,
+                            bases,
+                            bshape,
+                        )
+                        sl = [slice(None)] * rank
+                        sl[d_dim] = slice(lo_n, lo_n + out_w)
+                        for e in range(d_dim):
+                            if e in strips[0]:
+                                sl[e] = slice(
+                                    need_k[e][0], need_k[e][0] + nloc[e]
+                                )
+                        pos = tuple(
+                            d0_core if e == d_dim else 0 for e in range(rank)
+                        )
+                        xm = lax.dynamic_update_slice(xm, fx[tuple(sl)], pos)
+                        rm = lax.dynamic_update_slice(rm, fr[tuple(sl)], pos)
+                        dm = lax.dynamic_update_slice(dm, fd[tuple(sl)], pos)
+                return xm, rm, dm, rhom
+
+            x, r, d0, rho_prev = lax.fori_loop(
+                0, n_chunks, chunk_body, (x, r, d0, rho_prev)
+            )
+
+            # ---- one final reduction: residual and rhs norms ----
+            r2 = jnp.sum(r * r)
+            b2 = jnp.sum(bl * bl)
+            for nm in gmesh.axis_names:
+                r2 = lax.psum(r2, nm)
+                b2 = lax.psum(b2, nm)
+            return x, r2, b2
+
+        idl = inv_diag if inv_diag is not None else jnp.zeros(())
+        has_id = inv_diag is not None
+        x, r2, b2 = shard_map(
+            lambda bb, ii: local_fn(bb, ii if has_id else None),
+            mesh=gmesh.mesh,
+            in_specs=(spec, spec if has_id else gmesh.pspec(0)),
+            out_specs=(spec, gmesh.pspec(0), gmesh.pspec(0)),
+            check_vma=False,
+        )(b, idl)
+        resnorm = jnp.sqrt(r2)
+        bnorm = jnp.sqrt(b2)
+        info = SolveInfo(
+            iters=jnp.int32(1 + n_chunks * k_fuse),
+            resnorm=resnorm,
+            converged=resnorm <= tol * bnorm,
+        )
+        return x, info
+
+    return global_fn
+
+
+def _band_fix_apply(
+    matvec_block, fields, outs, strips, ext_slice, sharded_dims, need, nloc,
+    rank, gstart,
+):
+    """Single-application band fixup (the k=1 trapezoid) for `matvec_block`
+    applied to `fields` — used for the seeding matvec before the CA loop."""
+    for d in sharded_dims:
+        lo_n, hi_n = need[d]
+        for side in ("lo", "hi"):
+            out_w = lo_n if side == "lo" else hi_n
+            if out_w == 0:
+                continue
+            if side == "lo":
+                base_d = gstart[d] - lo_n
+                d0_core = 0
+            else:
+                base_d = gstart[d] + nloc[d] - (lo_n + hi_n)
+                d0_core = nloc[d] - out_w
+            bases = []
+            for d2 in range(rank):
+                if d2 == d:
+                    bases.append(base_d)
+                elif d2 < d and d2 in strips[0]:
+                    bases.append(gstart[d2] - need[d2][0])
+                else:
+                    bases.append(gstart[d2])
+            for fi in range(len(fields)):
+                band = _stitch_band(
+                    ext_slice, strips, fi, d, side, lo_n, hi_n, nloc
+                )
+                fy = matvec_block(band, bases, band.shape)
+                sl = [slice(None)] * rank
+                sl[d] = slice(lo_n, lo_n + out_w)
+                for e in range(d):
+                    if e in strips[0]:
+                        sl[e] = slice(need[e][0], need[e][0] + nloc[e])
+                pos = tuple(d0_core if e == d else 0 for e in range(rank))
+                outs[fi] = lax.dynamic_update_slice(
+                    outs[fi], fy[tuple(sl)], pos
+                )
+    return outs

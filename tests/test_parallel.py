@@ -628,3 +628,99 @@ class TestCommunicationVolume:
         assert count(four, x) == 16
         fk = shardmap_sweeps(cm, "lap2d", gm, 4)
         assert count(fk, x) == 4  # K sweeps, ONE exchange
+
+
+class TestCAChebyshev:
+    """Communication-avoiding Chebyshev: K solver iterations per exchange
+    (`parallel.chebyshev_sharded`). The (x, r, d) recurrence is trapezoid-
+    recomputed at shard edges, so the result matches the plain per-iteration
+    exchange solver while issuing ~K-fold fewer exchange rounds."""
+
+    def _setup(self, n=64):
+        make_lap2d(n)
+        cm = ntp.get_context().compiled()
+        lmin = 2.0 * (2.0 - 2.0 * np.cos(np.pi / (n + 1)))
+        return cm, lmin, 8.0
+
+    @pytest.mark.parametrize(
+        "axes,k_fuse", [((4, 2), 8), ((8, 1), 4)]
+    )  # (8,1): 8 local rows bound k_fuse*(lo+hi) <= 8
+    def test_matches_plain_chebyshev(self, axes, k_fuse):
+        from neptune_tpu.parallel import chebyshev_sharded, shardmap_opdef
+        from neptune_tpu.solvers import chebyshev
+
+        cm, lmin, lmax = self._setup()
+        gm = GridMesh(axes, ("x", "y"))
+        b = np.random.default_rng(12).standard_normal((64, 64))
+        bs = gm.shard(jnp.asarray(b))
+        solve = jax.jit(
+            chebyshev_sharded(
+                cm, "lap2d", gm, lam_min=lmin, lam_max=lmax,
+                k_fuse=k_fuse, maxiter=800, tol=1e-9,
+            )
+        )
+        x, info = solve(bs)
+        assert bool(info.converged)
+        mv = shardmap_opdef(cm, "lap2d", gm)
+        xp, _ = jax.jit(
+            lambda bb: chebyshev(
+                mv, bb, lam_min=lmin, lam_max=lmax, maxiter=int(info.iters)
+            )
+        )(bs)
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(xp), atol=1e-12
+        )
+        # and it actually solves the system
+        np.testing.assert_allclose(lap2d_np(np.asarray(x)), b, atol=1e-6)
+
+    def test_jacobi_preconditioned(self):
+        from neptune_tpu.parallel import chebyshev_sharded
+
+        cm, _, _ = self._setup()
+        gm = GridMesh((4, 2), ("x", "y"))
+        b = np.random.default_rng(5).standard_normal((64, 64))
+        bs = gm.shard(jnp.asarray(b))
+        # D^-1 A of the 5-pt system: diagonal 4 in the interior, 1 on the
+        # copy-through ring
+        idiag = np.full((64, 64), 0.25)
+        idiag[0, :] = idiag[-1, :] = idiag[:, 0] = idiag[:, -1] = 1.0
+        ids = gm.shard(jnp.asarray(idiag))
+        solve = jax.jit(
+            chebyshev_sharded(
+                cm, "lap2d", gm, lam_min=0.25 * 2.0 * (2.0 - 2.0 * np.cos(np.pi / 65)),
+                lam_max=2.0, k_fuse=4, maxiter=800, tol=1e-9,
+                inv_diag=np.asarray(idiag),
+            )
+        )
+        x, info = solve(bs)
+        assert bool(info.converged)
+        np.testing.assert_allclose(lap2d_np(np.asarray(x)), b, atol=1e-6)
+
+    def test_exchange_rounds(self):
+        # serial exchange rounds drop ~K-fold: count ppermutes per solver
+        # iteration in the jaxprs
+        from neptune_tpu.parallel import chebyshev_sharded, shardmap_opdef
+        from neptune_tpu.solvers import chebyshev
+
+        cm, lmin, lmax = self._setup()
+        gm = GridMesh((4, 2), ("x", "y"))
+        bs = gm.shard(jnp.zeros((64, 64)))
+
+        def count(fn, *args):
+            return str(jax.make_jaxpr(fn)(*args)).count("ppermute")
+
+        k, iters = 8, 96
+        ca = chebyshev_sharded(
+            cm, "lap2d", gm, lam_min=lmin, lam_max=lmax,
+            k_fuse=k, maxiter=iters,
+        )
+        mv = shardmap_opdef(cm, "lap2d", gm)
+        plain = lambda bb: chebyshev(
+            mv, bb, lam_min=lmin, lam_max=lmax, maxiter=iters
+        )
+        n_ca, n_plain = count(ca, bs), count(plain, bs)
+        # CA: 3 fields x 4 ppermutes per chunk (in ONE concurrent round)
+        # inside a fori_loop body + the seeding exchange; plain: 4 per
+        # iteration inside its loop body. The jaxpr counts are per-body:
+        assert n_ca <= 3 * 4 + 4 + 4  # chunk body + seed
+        assert n_plain >= 4
