@@ -13,13 +13,10 @@ finite fill is valid.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Sequence
 
-import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import PartitionSpec
 from jax import shard_map
 
 from .mesh import GridMesh
