@@ -83,6 +83,46 @@ def main():
     measured = np.abs(ca[1:-1, 1:-1]).max() / np.abs(mode[1:-1, 1:-1]).max()
     print(f"mode decay: measured {measured:.6f}, analytic {predicted:.6f}")
     assert abs(measured - predicted) < 5e-3
+
+    # ---- the same trapezoid carrying a whole SOLVER: CA-Chebyshev ----
+    # K full (x, r, d) Chebyshev iterations per exchange, one psum at the end
+    from neptune_tpu.parallel import chebyshev_sharded
+
+    @ntp.linear_op_def(
+        bounds=([0, 0], [N, N]), interior=([1, 1], [N - 1, N - 1]),
+        name="poisson_ca",
+    )
+    def poisson_ca(u):
+        return 4.0 * u[0, 0] - u[-1, 0] - u[1, 0] - u[0, -1] - u[0, 1]
+
+    cm2 = ntp.get_context().compiled()
+    lmin = 2.0 * (2.0 - 2.0 * np.cos(np.pi / (N + 1)))
+    b = np.zeros((N, N))
+    b[1:-1, 1:-1] = np.random.default_rng(3).standard_normal((N - 2, N - 2))
+    solve = jax.jit(
+        chebyshev_sharded(
+            cm2, "poisson_ca", gm, lam_min=lmin, lam_max=8.0,
+            k_fuse=K, maxiter=4000, tol=1e-8,
+        )
+    )
+    xs, info = solve(gm.shard(jnp.asarray(b)))
+    xs = np.asarray(xs)
+    r = b.copy()
+    r[1:-1, 1:-1] -= (
+        4 * xs[1:-1, 1:-1] - xs[:-2, 1:-1] - xs[2:, 1:-1]
+        - xs[1:-1, :-2] - xs[1:-1, 2:]
+    )
+    r[0, :] -= xs[0, :]
+    r[-1, :] -= xs[-1, :]
+    r[1:-1, 0] -= xs[1:-1, 0]
+    r[1:-1, -1] -= xs[1:-1, -1]
+    rel = np.linalg.norm(r) / np.linalg.norm(b)
+    print(
+        f"CA-Chebyshev solve: converged={bool(info.converged)} "
+        f"({int(info.iters)} iterations, {K} per exchange), "
+        f"true relative residual {rel:.2e}"
+    )
+    assert rel < 1e-6
     print("ok")
 
 

@@ -724,3 +724,31 @@ class TestCAChebyshev:
         # iteration inside its loop body. The jaxpr counts are per-body:
         assert n_ca <= 3 * 4 + 4 + 4  # chunk body + seed
         assert n_plain >= 4
+
+
+class TestShardmapMultigrid:
+    def test_vcycle_over_shardmap_matvecs(self):
+        """The MG hierarchy accepts bare matvec callables, so each level can
+        run the explicit strip-exchange shardmap path instead of GSPMD —
+        the configuration for real multi-chip meshes where the fused path's
+        deterministic communication wins."""
+        import sys
+
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from test_multigrid import poisson_ops
+
+        from neptune_tpu.parallel import shardmap_opdef
+        from neptune_tpu.solvers import multigrid_solve
+
+        poisson_ops([128, 64, 32, 16])
+        cm = ntp.get_context().compiled()
+        gm = GridMesh((4, 2), ("x", "y"))
+        mvs = [
+            shardmap_opdef(cm, f"poisson{n}", gm) for n in (128, 64, 32, 16)
+        ]
+        b = np.zeros((128, 128))
+        b[1:-1, 1:-1] = np.random.default_rng(0).standard_normal((126, 126))
+        bs = gm.shard(jnp.asarray(b))
+        x, info = multigrid_solve(mvs, bs, tol=1e-9, maxiter=60)
+        assert bool(info.converged)
+        assert int(info.iters) < 30  # multigrid rate, matvec-backend-agnostic
