@@ -354,6 +354,49 @@ def full_suite():
         "kernel": "comm-avoiding sharded sweeps + K-fused multisweep window (K=8)",
     }
 
+    # config 5g: communication-avoiding Chebyshev solver — K full (x, r, d)
+    # iterations per exchange, one psum at the end (s-step/CA-Krylov)
+    from neptune_tpu.parallel import chebyshev_sharded
+
+    nc = 256
+    ntp.reset_context()
+    make_jacobi_2d(nc)  # registers "jacobi"; build a plain laplacian too
+
+    @ntp.linear_op_def(
+        bounds=([0, 0], [nc, nc]),
+        interior=([1, 1], [nc - 1, nc - 1]),
+        dtype="float32",
+        name="lap_ca",
+    )
+    def lap_ca(u):
+        return 4.0 * u[0, 0] - u[-1, 0] - u[1, 0] - u[0, -1] - u[0, 1]
+
+    cmc = ntp.get_context().compiled()
+    lmin = 2.0 * (2.0 - 2.0 * np.cos(np.pi / (nc + 1)))
+    bb = np.zeros((nc, nc), np.float32)
+    bb[1:-1, 1:-1] = rng.standard_normal((nc - 2, nc - 2))
+    bbs = gm.shard(jnp.asarray(bb))
+    solve = jax.jit(
+        chebyshev_sharded(
+            cmc, "lap_ca", gm, lam_min=lmin, lam_max=8.0,
+            k_fuse=8, maxiter=3200, tol=1e-4,
+        )
+    )
+    xs, info = solve(bbs)
+    _ = float(jnp.sum(xs))
+    t0 = time.perf_counter()
+    xs, info = solve(bbs)
+    _ = float(jnp.sum(xs))
+    dt = time.perf_counter() - t0
+    results["ca_chebyshev_256_k8"] = {
+        "iters": int(info.iters),
+        "sec_per_solve": dt,
+        "iters_per_sec": int(info.iters) / dt,
+        "converged": bool(info.converged),
+        "tol": 1e-4,
+        "kernel": "communication-avoiding Chebyshev (8 iters/exchange, 1 psum/solve)",
+    }
+
     # config 6: f64 accuracy — implicit heat step on TPU vs the native C++
     # runtime oracle (the reference's compiled-kernel + solver path), the
     # BASELINE "match reference CPU outputs to 1e-10" row as a tracked
