@@ -752,3 +752,47 @@ class TestShardmapMultigrid:
         x, info = multigrid_solve(mvs, bs, tol=1e-9, maxiter=60)
         assert bool(info.converged)
         assert int(info.iters) < 30  # multigrid rate, matvec-backend-agnostic
+
+
+def test_ca_chebyshev_rank3():
+    """CA-Chebyshev is rank-generic: 3-D 7-pt Poisson on a 2-axis mesh."""
+    from neptune_tpu.parallel import chebyshev_sharded, shardmap_opdef
+    from neptune_tpu.solvers import chebyshev
+
+    m = 24
+
+    @ntp.linear_op_def(
+        bounds=([0, 0, 0], [m, m, m]),
+        interior=([1, 1, 1], [m - 1, m - 1, m - 1]),
+    )
+    def lap3(u):
+        return (
+            6.0 * u[0, 0, 0]
+            - u[1, 0, 0] - u[-1, 0, 0]
+            - u[0, 1, 0] - u[0, -1, 0]
+            - u[0, 0, 1] - u[0, 0, -1]
+        )
+
+    cm = ntp.get_context().compiled()
+    gm = GridMesh((4, 2), ("x", "y"))
+    lmin = 3.0 * (2.0 - 2.0 * np.cos(np.pi / (m + 1)))
+    b = np.zeros((m, m, m))
+    b[1:-1, 1:-1, 1:-1] = np.random.default_rng(4).standard_normal(
+        (m - 2, m - 2, m - 2)
+    )
+    bs = gm.shard(jnp.asarray(b))
+    solve = jax.jit(
+        chebyshev_sharded(
+            cm, "lap3", gm, lam_min=lmin, lam_max=12.0,
+            k_fuse=3, maxiter=600, tol=1e-9,
+        )
+    )
+    x, info = solve(bs)
+    assert bool(info.converged)
+    mv = shardmap_opdef(cm, "lap3", gm)
+    xp, _ = jax.jit(
+        lambda bb: chebyshev(
+            mv, bb, lam_min=lmin, lam_max=12.0, maxiter=int(info.iters)
+        )
+    )(bs)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(xp), atol=1e-12)
