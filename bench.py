@@ -289,7 +289,7 @@ def full_suite():
         "us_per_sweep": dt * 1e6,
         "gcell_per_s": n * n / dt / 1e9,
         "frac_of_hbm_roofline": (n * n / dt) / ROOFLINE_CELLS,
-        "kernel": "shard_map fused strip exchange + band fixup (default)",
+        "kernel": "shard_map fused strips + Pallas window core sweep (default)",
     }
 
     # config 5c: the same fused path at an HBM-resident local-block size —
@@ -336,7 +336,7 @@ def full_suite():
         "us_per_sweep": dt / K * 1e6,
         "gcell_per_s": n * n * K / dt / 1e9,
         "frac_of_hbm_roofline": (n * n * K / dt) / ROOFLINE_CELLS,
-        "kernel": "communication-avoiding sharded sweeps (K=8 per exchange)",
+        "kernel": "communication-avoiding sharded sweeps (K=8 per exchange, multisweep window)",
     }
 
     # config 5f: the same at an HBM-resident size — the K-fused multisweep

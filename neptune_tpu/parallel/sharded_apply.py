@@ -28,12 +28,6 @@ from ..lowering import jnp_backend
 from .halo import halo_pad_local
 from .mesh import GridMesh
 
-# Local-core size above which the fused path's main sweep routes to the
-# Pallas window kernel instead of XLA jnp (see _shardmap_fused); module-level
-# so tests can lower it to exercise the window main sweep in interpret mode.
-_WINDOW_CORE_BYTES = 4 * 1024 * 1024
-
-
 def _eval_apply_local(
     op: Operation,
     ext_arrays,
@@ -501,16 +495,16 @@ def _shardmap_fused(cm, fn, op, gmesh, names, spec, tt, plan) -> Callable:
             # ---- main sweep on the core block (zero-ghost: every cell whose
             # stencil crosses a shard edge is overwritten by a band fixup
             # below, so edge reads may be zeros OR wrap garbage) ----
-            # VMEM-scale cores: XLA fuses the slice+pad stencil in-loop
-            # (~114 Gcell/s at 1024²). HBM-scale cores: XLA's jnp codegen
-            # collapses (22 Gcell/s at 4096²) while the slab-blocked Pallas
-            # window kernel holds ~85 — route there; its pltpu.roll wrap
-            # garbage lands only in band-recomputed or mask-discarded cells.
+            # The slab-blocked Pallas window kernel wins at EVERY size on
+            # TPU (512²: 270 vs 109 Gcell/s; 1024²: 139 vs 97; 4096²: 85 vs
+            # 22 for the XLA jnp chain) — shard_map's jnp lowering cannot keep
+            # loop working set VMEM-resident the way the non-sharded XLA
+            # path does, while pallas_call with the deduped cost estimate
+            # pipelines cleanly. Its pltpu.roll wrap garbage lands only in
+            # band-recomputed or mask-discarded cells. jnp is the fallback
+            # for unsupported cases (f64, tiny grids, off-TPU, periodic).
             use_window = False
-            core_bytes = dtype.itemsize
-            for e in nloc:
-                core_bytes *= e
-            if core_bytes > _WINDOW_CORE_BYTES and not periodic:
+            if not periodic:
                 from ..config import config
                 from ..lowering import pallas_backend
 
@@ -657,11 +651,14 @@ def shardmap_opdef(
     """Explicit-communication sharded matvec for opdef @name.
 
     cm: a CompiledModule over a *verified* module (halo annotations present).
-    backend="pallas" runs each shard's compute through the slab-blocked
-    Pallas window kernel; "jnp" (default) uses the XLA lowering — for
-    single-apply opdefs, the fused strip-exchange path (`_shardmap_fused`),
-    otherwise the ghost-extended-block path.
-    Returns a jittable global function over mesh-sharded arrays.
+    Single-apply opdefs take the fused strip-exchange path
+    (`_shardmap_fused`); composite operators use the ghost-extended-block
+    path. backend="jnp" (default) picks the main-sweep kernel by core size
+    (fused XLA chain at VMEM scale, Pallas window kernel at HBM scale);
+    backend="pallas" forces the Pallas window kernel at every size
+    (periodic ops and non-fusable cases fall back to the extended-block
+    window path). Returns a jittable global function over mesh-sharded
+    arrays.
     """
     fn = cm.module.lookup(name)
     halo = fn.attrs.get("halo")
@@ -678,11 +675,13 @@ def shardmap_opdef(
     spec = gmesh.pspec(rank)
     n_args = len(fn.ftype.inputs)
 
-    if backend == "jnp":
+    if backend in ("jnp", "pallas"):
         apply_op = _single_apply(fn)
         if apply_op is not None:
             plan = _fused_plan(fn, apply_op, gmesh, names, tt)
-            if plan is not None:
+            if plan is not None and not (
+                backend == "pallas" and _opdef_periodic(cm.module, name)
+            ):
                 return _shardmap_fused(
                     cm, fn, apply_op, gmesh, names, spec, tt, plan
                 )
@@ -847,20 +846,14 @@ def shardmap_sweeps(
                 return y
 
             # ---- main: K zero-ghost sweeps on the core ----
-            # HBM-scale cores prefer, in order: (1) the K-fused multisweep
-            # window kernel (one HBM pass for all K sweeps — its clamp/roll
-            # edge garbage creeps exactly K*reach, the band-recomputed
-            # zone); (2) K single-sweep window-kernel calls; (3) the fused
-            # XLA jnp chain (VMEM-scale cores, where it wins).
-            core_bytes = dtype.itemsize
-            for e in nloc:
-                core_bytes *= e
+            # main-sweep preference (any size; measured on TPU): (1) the
+            # K-fused multisweep window kernel (one HBM pass for all K
+            # sweeps — its clamp/roll edge garbage creeps exactly K*reach,
+            # the band-recomputed zone); (2) K single-sweep window-kernel
+            # calls; (3) the fused XLA jnp chain (fallback: f64, tiny
+            # grids, off-TPU, periodic, or a forced 'jnp' backend).
             y = None
-            if (
-                backend == "auto"
-                and core_bytes > _WINDOW_CORE_BYTES
-                and not periodic
-            ):
+            if backend == "auto" and not periodic:
                 from ..config import config
                 from ..lowering import pallas_backend, pallas_multisweep
 

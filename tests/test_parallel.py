@@ -368,14 +368,12 @@ class TestShardmapSweeps:
 
     @pytest.mark.parametrize("k", [1, 2])
     def test_window_core_sweep_interpret(self, monkeypatch, k):
-        # force the Pallas main sweep (interpret mode) by dropping the
-        # VMEM-scale threshold: k=1 exercises the per-sweep window kernel,
-        # k=2 the K-fused multisweep window kernel with traced coords
-        import neptune_tpu.parallel.sharded_apply as sa
+        # the Pallas main sweep in interpret mode (preferred at any size):
+        # k=1 exercises the per-sweep window kernel, k=2 the K-fused
+        # multisweep window kernel with traced coords
         from neptune_tpu.config import config
         from neptune_tpu.parallel import shardmap_sweeps
 
-        monkeypatch.setattr(sa, "_WINDOW_CORE_BYTES", 0)
         monkeypatch.setattr(config, "pallas_interpret", True)
         n = 128
 
