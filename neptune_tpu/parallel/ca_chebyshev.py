@@ -59,6 +59,7 @@ def chebyshev_sharded(
     maxiter: int = 96,
     tol: float = 1e-6,
     inv_diag=None,
+    check_every: int = 0,
 ) -> Callable:
     """Build a jittable communication-avoiding Chebyshev solve for A = @name.
 
@@ -67,7 +68,10 @@ def chebyshev_sharded(
     `solvers.chebyshev.estimate_spectrum` over a `shardmap_opdef` matvec if
     unknown. maxiter rounds up to a multiple of k_fuse; the residual norm is
     reduced ONCE at the end (the solve loop itself is collective-free apart
-    from the per-chunk strip ppermutes).
+    from the per-chunk strip ppermutes). check_every=c (chunks) opts into a
+    convergence test — one psum per c*k_fuse iterations — and stops the
+    chunk loop early; check_every=0 (default) runs all chunks reduction-
+    free. The reported iteration count includes any early stop.
     """
     if k_fuse < 1:
         raise ValueError("k_fuse must be >= 1")
@@ -265,31 +269,59 @@ def chebyshev_sharded(
                         dm = lax.dynamic_update_slice(dm, fd[tuple(sl)], pos)
                 return xm, rm, dm, rhom
 
-            x, r, d0, rho_prev = lax.fori_loop(
-                0, n_chunks, chunk_body, (x, r, d0, rho_prev)
-            )
+            def gsum(v):
+                for nm in gmesh.axis_names:
+                    v = lax.psum(v, nm)
+                return v
+
+            if check_every <= 0:
+                x, r, d0, rho_prev = lax.fori_loop(
+                    0, n_chunks, chunk_body, (x, r, d0, rho_prev)
+                )
+                done_chunks = jnp.int32(n_chunks)
+            else:
+                b2g = gsum(jnp.sum(bl * bl))
+                target2 = (tol * tol) * b2g
+
+                def cond(state):
+                    i, carry = state
+                    _, r_c, _, _ = carry
+                    not_done = i < n_chunks
+                    do_check = (i % check_every) == 0
+                    r2_c = lax.cond(
+                        do_check & not_done,
+                        lambda: gsum(jnp.sum(r_c * r_c)),
+                        lambda: jnp.zeros((), r_c.dtype),
+                    )
+                    return not_done & ((~do_check) | (r2_c > target2))
+
+                def body(state):
+                    i, carry = state
+                    return i + 1, chunk_body(i, carry)
+
+                i, (x, r, d0, rho_prev) = lax.while_loop(
+                    cond, body, (jnp.int32(0), (x, r, d0, rho_prev))
+                )
+                done_chunks = i
 
             # ---- one final reduction: residual and rhs norms ----
-            r2 = jnp.sum(r * r)
-            b2 = jnp.sum(bl * bl)
-            for nm in gmesh.axis_names:
-                r2 = lax.psum(r2, nm)
-                b2 = lax.psum(b2, nm)
-            return x, r2, b2
+            r2 = gsum(jnp.sum(r * r))
+            b2 = gsum(jnp.sum(bl * bl))
+            return x, r2, b2, done_chunks
 
         idl = inv_diag if inv_diag is not None else jnp.zeros(())
         has_id = inv_diag is not None
-        x, r2, b2 = shard_map(
+        x, r2, b2, done_chunks = shard_map(
             lambda bb, ii: local_fn(bb, ii if has_id else None),
             mesh=gmesh.mesh,
             in_specs=(spec, spec if has_id else gmesh.pspec(0)),
-            out_specs=(spec, gmesh.pspec(0), gmesh.pspec(0)),
+            out_specs=(spec, gmesh.pspec(0), gmesh.pspec(0), gmesh.pspec(0)),
             check_vma=False,
         )(b, idl)
         resnorm = jnp.sqrt(r2)
         bnorm = jnp.sqrt(b2)
         info = SolveInfo(
-            iters=jnp.int32(1 + n_chunks * k_fuse),
+            iters=jnp.int32(1) + done_chunks * jnp.int32(k_fuse),
             resnorm=resnorm,
             converged=resnorm <= tol * bnorm,
         )

@@ -794,3 +794,45 @@ def test_ca_chebyshev_rank3():
         )
     )(bs)
     np.testing.assert_allclose(np.asarray(x), np.asarray(xp), atol=1e-12)
+
+
+def test_ca_chebyshev_early_stop():
+    """check_every=c adds one psum per c*k_fuse iterations and stops the
+    chunk loop at the first check that meets tol."""
+    from neptune_tpu.parallel import chebyshev_sharded
+
+    n = 64
+    make_lap2d(n)
+    cm = ntp.get_context().compiled()
+    gm = GridMesh((4, 2), ("x", "y"))
+    lmin = 2.0 * (2.0 - 2.0 * np.cos(np.pi / (n + 1)))
+    b = np.random.default_rng(12).standard_normal((n, n))
+    bs = gm.shard(jnp.asarray(b))
+    full = jax.jit(
+        chebyshev_sharded(
+            cm, "lap2d", gm, lam_min=lmin, lam_max=8.0,
+            k_fuse=8, maxiter=2000, tol=1e-8,
+        )
+    )
+    x0, i0 = full(bs)
+    early = jax.jit(
+        chebyshev_sharded(
+            cm, "lap2d", gm, lam_min=lmin, lam_max=8.0,
+            k_fuse=8, maxiter=2000, tol=1e-8, check_every=4,
+        )
+    )
+    x1, i1 = early(bs)
+    assert bool(i0.converged) and bool(i1.converged)
+    assert int(i1.iters) < int(i0.iters) // 2
+    # the early-stopped solution satisfies the tolerance for the true system
+    xx = np.asarray(x1)
+    res = b.copy()
+    res[1:-1, 1:-1] -= (
+        4 * xx[1:-1, 1:-1] - xx[:-2, 1:-1] - xx[2:, 1:-1]
+        - xx[1:-1, :-2] - xx[1:-1, 2:]
+    )
+    res[0, :] -= xx[0, :]
+    res[-1, :] -= xx[-1, :]
+    res[1:-1, 0] -= xx[1:-1, 0]
+    res[1:-1, -1] -= xx[1:-1, -1]
+    assert np.linalg.norm(res) <= 1e-8 * np.linalg.norm(b) * 2
