@@ -645,6 +645,128 @@ def _shardmap_fused(cm, fn, op, gmesh, names, spec, tt, plan) -> Callable:
     return global_fn
 
 
+
+def _composite_fused_ok(cm, fn, gmesh, names, tt, halo) -> bool:
+    """Eligibility of a composite (multi-stage) opdef for the fused
+    strip-exchange path: every arg a field of the same bounds, uniform
+    non-periodic applies, composed reach fitting one shard."""
+    rank = tt.bounds.rank
+    for t in fn.ftype.inputs:
+        b = getattr(t, "bounds", None)
+        if b is None or b.shape != tt.bounds.shape:
+            return False
+    try:
+        if _opdef_periodic(cm.module, fn.name):
+            return False
+    except NotImplementedError:
+        return False
+    for d in range(rank):
+        nm = names[d]
+        ax = gmesh.shape[gmesh.axis_names.index(nm)] if nm else 1
+        if tt.bounds.shape[d] % max(ax, 1) != 0:
+            return False
+        local_d = tt.bounds.shape[d] // max(ax, 1)
+        if halo[d][0] + halo[d][1] > local_d:
+            return False
+    return True
+
+
+def _shardmap_fused_composite(
+    cm, fn, gmesh, names, spec, tt, halo
+) -> Callable:
+    """Fused strip-exchange execution for composite (multi-stage) opdefs.
+
+    The whole chain runs zero-ghost on the core block (each stage's wrong
+    zone grows by its stage reach; after the chain it is exactly the
+    composed reach — the opdef's verified `halo`), then the composed-reach
+    edge bands are recomputed by running the SAME chain on thin
+    strip-stitched bands of every argument — the k=1 trapezoid with "one
+    sweep = the whole operator body". This avoids materializing the
+    ghost-extended block (a fusion barrier that tripled HBM traffic; see
+    docs/PERFORMANCE.md).
+    """
+    rank = tt.bounds.rank
+    n_args = len(fn.ftype.inputs)
+    n_out = len(fn.ftype.results)
+    outer = tt.bounds
+
+    def global_fn(*arrays):
+        def local_fn(*locs):
+            nloc = locs[0].shape
+            gstart = []
+            for d in range(rank):
+                nm = names[d]
+                base = lax.axis_index(nm) * nloc[d] if nm else jnp.int32(0)
+                gstart.append(
+                    jnp.asarray(base, jnp.int32) + jnp.int32(outer.lb[d])
+                )
+
+            # main: the whole chain, zero-ghost, on the cores
+            out = _eval_opdef_local(
+                cm.module, fn.name, list(locs), nloc, gstart, "jnp"
+            )
+            outs = list(out) if isinstance(out, tuple) else [out]
+
+            strips, ext_slice, sharded_dims = _strip_exchange(
+                list(locs), nloc, rank, names, halo, False
+            )
+            for d in sharded_dims:
+                lo_n, hi_n = halo[d]
+                for side in ("lo", "hi"):
+                    out_w = lo_n if side == "lo" else hi_n
+                    if out_w == 0:
+                        continue
+                    band_args = [
+                        _stitch_band(
+                            ext_slice, strips, fi, d, side, lo_n, hi_n, nloc
+                        )
+                        for fi in range(n_args)
+                    ]
+                    if side == "lo":
+                        base_d = gstart[d] - lo_n
+                        d0_core = 0
+                    else:
+                        base_d = gstart[d] + nloc[d] - (lo_n + hi_n)
+                        d0_core = nloc[d] - out_w
+                    bases = []
+                    for d2 in range(rank):
+                        if d2 == d:
+                            bases.append(base_d)
+                        elif d2 < d and d2 in strips[0]:
+                            bases.append(gstart[d2] - halo[d2][0])
+                        else:
+                            bases.append(gstart[d2])
+                    bshape = band_args[0].shape
+                    bout = _eval_opdef_local(
+                        cm.module, fn.name, band_args, bshape, bases, "jnp"
+                    )
+                    bouts = list(bout) if isinstance(bout, tuple) else [bout]
+                    sl = [slice(None)] * rank
+                    sl[d] = slice(lo_n, lo_n + out_w)
+                    for e in range(d):
+                        if e in strips[0]:
+                            sl[e] = slice(halo[e][0], halo[e][0] + nloc[e])
+                    pos = tuple(
+                        d0_core if e == d else 0 for e in range(rank)
+                    )
+                    for j in range(len(outs)):
+                        outs[j] = lax.dynamic_update_slice(
+                            outs[j], bouts[j][tuple(sl)], pos
+                        )
+
+            return outs[0] if len(outs) == 1 else tuple(outs)
+
+        return shard_map(
+            local_fn,
+            mesh=gmesh.mesh,
+            in_specs=(spec,) * n_args,
+            out_specs=(spec,) * n_out if n_out > 1 else spec,
+            check_vma=False,
+        )(*arrays)
+
+    return global_fn
+
+
 def shardmap_opdef(
     cm, name: str, gmesh: GridMesh, backend: str = "jnp"
 ) -> Callable:
@@ -685,6 +807,12 @@ def shardmap_opdef(
                 return _shardmap_fused(
                     cm, fn, apply_op, gmesh, names, spec, tt, plan
                 )
+        elif backend == "jnp" and _composite_fused_ok(
+            cm, fn, gmesh, names, tt, halo
+        ):
+            return _shardmap_fused_composite(
+                cm, fn, gmesh, names, spec, tt, halo
+            )
 
     periodic = _opdef_periodic(cm.module, name)
 
