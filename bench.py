@@ -360,7 +360,6 @@ def full_suite():
 
     nc = 256
     ntp.reset_context()
-    make_jacobi_2d(nc)  # registers "jacobi"; build a plain laplacian too
 
     @ntp.linear_op_def(
         bounds=([0, 0], [nc, nc]),

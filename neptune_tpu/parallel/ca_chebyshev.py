@@ -66,7 +66,9 @@ def chebyshev_sharded(
     Returns solve(b) -> (x, SolveInfo). lam_min/lam_max bound the spectrum
     of (M A) with M = diag(inv_diag) (or identity); estimate them with
     `solvers.chebyshev.estimate_spectrum` over a `shardmap_opdef` matvec if
-    unknown. maxiter rounds up to a multiple of k_fuse; the residual norm is
+    unknown. The loop runs whole chunks: 1 + ceil((maxiter-1)/k_fuse) *
+    k_fuse iterations total (the seed step plus full chunks — at most
+    k_fuse-1 beyond maxiter). The residual norm is
     reduced ONCE at the end (the solve loop itself is collective-free apart
     from the per-chunk strip ppermutes). check_every=c (chunks) opts into a
     convergence test — one psum per c*k_fuse iterations — and stops the
@@ -104,7 +106,9 @@ def chebyshev_sharded(
     wrap = tuple(periodic and not names[d] for d in range(rank))
     input_lb = op.operands[0].type.bounds.lb
 
-    n_chunks = -(-maxiter // k_fuse)
+    # the seeding step counts as iteration 1 (as in solvers.chebyshev),
+    # so the chunk loop covers the remaining maxiter-1 iterations
+    n_chunks = -(-(maxiter - 1) // k_fuse)
     theta = 0.5 * (lam_max + lam_min)
     delta = 0.5 * (lam_max - lam_min)
     sigma1 = theta / delta
@@ -195,12 +199,19 @@ def chebyshev_sharded(
 
             # ---- chunked CA loop (fori_loop: one traced chunk body) ----
             need_k = [(k_fuse * lo, k_fuse * hi) for lo, hi in need]
+            # the preconditioner diagonal is iteration-constant: exchange
+            # its K-deep strips ONCE, outside the loop (XLA cannot hoist
+            # collectives out of a fori_loop body)
+            id_strips = id_ext = None
+            if idl is not None:
+                id_strips, id_ext, _ = _strip_exchange(
+                    [idl], nloc, rank, names, need_k, periodic
+                )
 
             def chunk_body(_, carry):
                 x, r, d0, rho_prev = carry
-                fields = [x, r, d0] + ([] if idl is None else [idl])
                 strips, ext_slice, sharded_dims = _strip_exchange(
-                    fields, nloc, rank, names, need_k, periodic
+                    [x, r, d0], nloc, rank, names, need_k, periodic
                 )
                 xm, rm, dm, rhom = k_iters(
                     x, r, d0, rho_prev, idl, gstart, nloc
@@ -222,7 +233,7 @@ def chebyshev_sharded(
                         )
                         bid = (
                             _stitch_band(
-                                ext_slice, strips, 3, d_dim, side,
+                                id_ext, id_strips, 0, d_dim, side,
                                 lo_n, hi_n, nloc,
                             )
                             if idl is not None
@@ -270,8 +281,12 @@ def chebyshev_sharded(
                 return xm, rm, dm, rhom
 
             def gsum(v):
-                for nm in gmesh.axis_names:
-                    v = lax.psum(v, nm)
+                # psum only over axes that shard this field: extra mesh
+                # axes hold replicas, and summing over them would inflate
+                # the norms by the replica count
+                for nm in names[:rank]:
+                    if nm:
+                        v = lax.psum(v, nm)
                 return v
 
             if check_every <= 0:
