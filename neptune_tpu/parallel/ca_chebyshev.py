@@ -42,6 +42,7 @@ from ..solvers.krylov import SolveInfo
 from .mesh import GridMesh
 from .sharded_apply import (
     _fused_plan,
+    _run_band_fixups,
     _single_apply,
     _stitch_band,
     _strip_exchange,
@@ -180,10 +181,9 @@ def chebyshev_sharded(
                 [d0], nloc, rank, names, need, periodic
             )
             Ad0 = matvec_block(d0, gstart, nloc)
-            Ad0 = _band_fix_apply(
-                matvec_block,
-                [d0],
+            (Ad0,) = _run_band_fixups(
                 [Ad0],
+                1,
                 sd_strips,
                 sd_ext,
                 sd_dims,
@@ -191,7 +191,10 @@ def chebyshev_sharded(
                 nloc,
                 rank,
                 gstart,
-            )[0]
+                lambda bands, zone: [
+                    matvec_block(b, zone.bases, b.shape) for b in bands
+                ],
+            )
             r = bl - Ad0
             # concrete dtype for the fori_loop carry (weak-typed python
             # scalars would change type after one chunk)
@@ -216,68 +219,29 @@ def chebyshev_sharded(
                 xm, rm, dm, rhom = k_iters(
                     x, r, d0, rho_prev, idl, gstart, nloc
                 )
+
                 # band fixups: replay the K iterations on strip-stitched
-                # bands of the chunk-start state
-                for d_dim in sharded_dims:
-                    lo_n, hi_n = need_k[d_dim]
-                    for side in ("lo", "hi"):
-                        out_w = lo_n if side == "lo" else hi_n
-                        if out_w == 0:
-                            continue
-                        bx, br, bd = (
-                            _stitch_band(
-                                ext_slice, strips, fi, d_dim, side,
-                                lo_n, hi_n, nloc,
-                            )
-                            for fi in range(3)
+                # bands of the chunk-start state (plus the iteration-
+                # constant preconditioner diagonal's own band)
+                def replay(bands, zone):
+                    bx, br, bd = (b.astype(dtype) for b in bands)
+                    bid = (
+                        _stitch_band(
+                            id_ext, id_strips, 0, zone.d, zone.side,
+                            zone.lo_n, zone.hi_n, nloc,
                         )
-                        bid = (
-                            _stitch_band(
-                                id_ext, id_strips, 0, d_dim, side,
-                                lo_n, hi_n, nloc,
-                            )
-                            if idl is not None
-                            else None
-                        )
-                        if side == "lo":
-                            base_d = gstart[d_dim] - lo_n
-                            d0_core = 0
-                        else:
-                            base_d = (
-                                gstart[d_dim] + nloc[d_dim] - (lo_n + hi_n)
-                            )
-                            d0_core = nloc[d_dim] - out_w
-                        bases = []
-                        for d2 in range(rank):
-                            if d2 == d_dim:
-                                bases.append(base_d)
-                            elif d2 < d_dim and d2 in strips[0]:
-                                bases.append(gstart[d2] - need_k[d2][0])
-                            else:
-                                bases.append(gstart[d2])
-                        bshape = bx.shape
-                        fx, fr, fd, _ = k_iters(
-                            bx.astype(dtype),
-                            br.astype(dtype),
-                            bd.astype(dtype),
-                            rho_prev,
-                            bid,
-                            bases,
-                            bshape,
-                        )
-                        sl = [slice(None)] * rank
-                        sl[d_dim] = slice(lo_n, lo_n + out_w)
-                        for e in range(d_dim):
-                            if e in strips[0]:
-                                sl[e] = slice(
-                                    need_k[e][0], need_k[e][0] + nloc[e]
-                                )
-                        pos = tuple(
-                            d0_core if e == d_dim else 0 for e in range(rank)
-                        )
-                        xm = lax.dynamic_update_slice(xm, fx[tuple(sl)], pos)
-                        rm = lax.dynamic_update_slice(rm, fr[tuple(sl)], pos)
-                        dm = lax.dynamic_update_slice(dm, fd[tuple(sl)], pos)
+                        if idl is not None
+                        else None
+                    )
+                    fx, fr, fd, _ = k_iters(
+                        bx, br, bd, rho_prev, bid, zone.bases, bx.shape
+                    )
+                    return [fx, fr, fd]
+
+                xm, rm, dm = _run_band_fixups(
+                    [xm, rm, dm], 3, strips, ext_slice, sharded_dims,
+                    need_k, nloc, rank, gstart, replay,
+                )
                 return xm, rm, dm, rhom
 
             def gsum(v):
@@ -343,46 +307,3 @@ def chebyshev_sharded(
         return x, info
 
     return global_fn
-
-
-def _band_fix_apply(
-    matvec_block, fields, outs, strips, ext_slice, sharded_dims, need, nloc,
-    rank, gstart,
-):
-    """Single-application band fixup (the k=1 trapezoid) for `matvec_block`
-    applied to `fields` — used for the seeding matvec before the CA loop."""
-    for d in sharded_dims:
-        lo_n, hi_n = need[d]
-        for side in ("lo", "hi"):
-            out_w = lo_n if side == "lo" else hi_n
-            if out_w == 0:
-                continue
-            if side == "lo":
-                base_d = gstart[d] - lo_n
-                d0_core = 0
-            else:
-                base_d = gstart[d] + nloc[d] - (lo_n + hi_n)
-                d0_core = nloc[d] - out_w
-            bases = []
-            for d2 in range(rank):
-                if d2 == d:
-                    bases.append(base_d)
-                elif d2 < d and d2 in strips[0]:
-                    bases.append(gstart[d2] - need[d2][0])
-                else:
-                    bases.append(gstart[d2])
-            for fi in range(len(fields)):
-                band = _stitch_band(
-                    ext_slice, strips, fi, d, side, lo_n, hi_n, nloc
-                )
-                fy = matvec_block(band, bases, band.shape)
-                sl = [slice(None)] * rank
-                sl[d] = slice(lo_n, lo_n + out_w)
-                for e in range(d):
-                    if e in strips[0]:
-                        sl[e] = slice(need[e][0], need[e][0] + nloc[e])
-                pos = tuple(d0_core if e == d else 0 for e in range(rank))
-                outs[fi] = lax.dynamic_update_slice(
-                    outs[fi], fy[tuple(sl)], pos
-                )
-    return outs

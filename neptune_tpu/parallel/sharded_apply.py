@@ -15,7 +15,7 @@ for the per-shard compute.
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -440,6 +440,102 @@ def _stitch_band(ext_slice, strips, k, d, side, lo_n, hi_n, nloc):
     return jnp.concatenate(parts, axis=d) if len(parts) > 1 else parts[0]
 
 
+class _BandZone(NamedTuple):
+    """Geometry of one trapezoid band fixup (dim d, one side).
+
+    bases[d2] is the traced global logical coordinate of band row 0 in dim
+    d2; out_slice extracts the zone to write back from a *band-shaped*
+    result (along d: rows [lo_n, lo_n+out_w); along earlier sharded dims:
+    the core extent, carving their ghost margins); pos is the
+    dynamic_update_slice position of that zone in the core block."""
+
+    d: int
+    side: str
+    out_w: int
+    lo_n: int
+    hi_n: int
+    bases: tuple
+    out_slice: tuple
+    pos: tuple
+
+
+def _band_zones(strips, sharded_dims, need_k, nloc, rank, gstart):
+    """Enumerate trapezoid band-fixup zones — the one shared implementation
+    of the band geometry used by every fused sharded path (single-apply,
+    K-sweep, composite-chain, CA-Chebyshev, CA-CG)."""
+    zones = []
+    for d in sharded_dims:
+        lo_n, hi_n = need_k[d]
+        for side in ("lo", "hi"):
+            out_w = lo_n if side == "lo" else hi_n
+            if out_w == 0:
+                continue
+            if side == "lo":
+                base_d = gstart[d] - lo_n
+                d0_core = 0
+            else:
+                base_d = gstart[d] + nloc[d] - (lo_n + hi_n)
+                d0_core = nloc[d] - out_w
+            bases = []
+            for d2 in range(rank):
+                if d2 == d:
+                    bases.append(base_d)
+                elif d2 < d and d2 in strips[0]:
+                    bases.append(gstart[d2] - need_k[d2][0])
+                else:
+                    bases.append(gstart[d2])
+            sl = [slice(None)] * rank
+            sl[d] = slice(lo_n, lo_n + out_w)
+            for e in range(d):
+                if e in strips[0]:
+                    sl[e] = slice(need_k[e][0], need_k[e][0] + nloc[e])
+            pos = tuple(d0_core if e == d else 0 for e in range(rank))
+            zones.append(
+                _BandZone(
+                    d, side, out_w, lo_n, hi_n, tuple(bases), tuple(sl), pos
+                )
+            )
+    return zones
+
+
+def _run_band_fixups(
+    outs,
+    n_fields,
+    strips,
+    ext_slice,
+    sharded_dims,
+    need_k,
+    nloc,
+    rank,
+    gstart,
+    replay,
+):
+    """Recompute every shard-edge zone from strip-stitched bands.
+
+    replay(bands, zone) -> list of len(outs) band results; bands[fi] is the
+    stitched band of field fi. A result may be full-band-shaped (the driver
+    slices zone.out_slice) or already out_w-thin along zone.d (only the
+    earlier dims' margins are carved). Each zone's results overwrite outs at
+    zone.pos via dynamic_update_slice."""
+    for zone in _band_zones(strips, sharded_dims, need_k, nloc, rank, gstart):
+        bands = [
+            _stitch_band(
+                ext_slice, strips, fi, zone.d, zone.side, zone.lo_n,
+                zone.hi_n, nloc,
+            )
+            for fi in range(n_fields)
+        ]
+        bouts = replay(bands, zone)
+        for j in range(len(outs)):
+            sl = list(zone.out_slice)
+            if bouts[j].shape[zone.d] == zone.out_w:
+                sl[zone.d] = slice(None)
+            outs[j] = lax.dynamic_update_slice(
+                outs[j], bouts[j][tuple(sl)], zone.pos
+            )
+    return outs
+
+
 def _shardmap_fused(cm, fn, op, gmesh, names, spec, tt, plan) -> Callable:
     """Fused sharded single-apply execution: zero-ghost main sweep + thin
     band fixups.
@@ -560,75 +656,63 @@ def _shardmap_fused(cm, fn, op, gmesh, names, spec, tt, plan) -> Callable:
             )
 
             # ---- band fixups: recompute the rows whose stencil crossed a
-            # shard edge, from thin strip-stitched bands ----
-            for d in sharded_dims:
-                lo_n, hi_n = need[d]
-                for side in ("lo", "hi"):
-                    out_w = lo_n if side == "lo" else hi_n
-                    if out_w == 0:
-                        continue
-                    band_in = [
-                        _stitch_band(
-                            ext_slice, strips, k, d, side, lo_n, hi_n, nloc
-                        )
-                        for k in range(n_in)
-                    ]
-                    ghost = lo_n
-                    d0_core = 0 if side == "lo" else nloc[d] - out_w
-                    bshape = list(band_in[0].shape)
-                    bshape[d] = out_w
-                    bshape = tuple(bshape)
+            # shard edge, from thin strip-stitched bands. The replay computes
+            # only the out_w output rows (thin-sliced accesses), not the full
+            # band — the k=1 special case the shared driver supports. ----
+            def replay(band_in, zone):
+                d, out_w = zone.d, zone.out_w
+                ghost = zone.lo_n
+                d0_core = zone.pos[d]
+                bshape = list(band_in[0].shape)
+                bshape[d] = out_w
+                bshape = tuple(bshape)
 
-                    def b_access(k, offset):
-                        adj = adj_of(k, offset)
-                        v = lax.slice_in_dim(
-                            band_in[k],
-                            ghost + adj[d],
-                            ghost + adj[d] + out_w,
-                            axis=d,
-                        )
-                        rest = tuple(
-                            0 if e == d else adj[e] for e in range(rank)
-                        )
-                        return jnp_backend.shift_read(v, rest, wrap)
-
-                    def b_index(d2):
-                        iv = lax.broadcasted_iota(jnp.int32, bshape, d2)
-                        base = gstart[d2]
-                        if d2 == d:
-                            base = base + d0_core
-                        elif d2 < d and d2 in strips[0]:
-                            base = base - need[d2][0]
-                        return iv + base
-
-                    bys = jnp_backend.eval_scalar_dag(
-                        op.region(0), rank, n_in, b_access, b_index, scalar_vals
+                def b_access(k, offset):
+                    adj = adj_of(k, offset)
+                    v = lax.slice_in_dim(
+                        band_in[k],
+                        ghost + adj[d],
+                        ghost + adj[d] + out_w,
+                        axis=d,
                     )
-                    for j, y in enumerate(bys):
-                        y = jnp.broadcast_to(jnp.asarray(y, dtype), bshape)
-                        if not full_domain:
-                            mask = None
-                            for d2 in range(rank):
-                                iv = b_index(d2)
-                                m = (iv >= bounds.lb[d2]) & (iv < bounds.ub[d2])
-                                mask = m if mask is None else (mask & m)
-                            if j < n_in:
-                                seed = ext_slice(
-                                    j, d, d0_core, d0_core + out_w
-                                ).astype(dtype)
-                            else:
-                                seed = jnp.zeros(bshape, dtype)
-                            y = jnp.where(mask, y, seed)
-                        # carve earlier dims' ghost margins off the band
-                        sl = [slice(None)] * rank
-                        for e in range(d):
-                            if e in strips[0]:
-                                sl[e] = slice(need[e][0], need[e][0] + nloc[e])
-                        y = y[tuple(sl)]
-                        pos = tuple(
-                            d0_core if e == d else 0 for e in range(rank)
-                        )
-                        outs[j] = lax.dynamic_update_slice(outs[j], y, pos)
+                    rest = tuple(
+                        0 if e == d else adj[e] for e in range(rank)
+                    )
+                    return jnp_backend.shift_read(v, rest, wrap)
+
+                def b_index(d2):
+                    iv = lax.broadcasted_iota(jnp.int32, bshape, d2)
+                    base = zone.bases[d2]
+                    if d2 == d:
+                        base = gstart[d] + d0_core
+                    return iv + base
+
+                bys = jnp_backend.eval_scalar_dag(
+                    op.region(0), rank, n_in, b_access, b_index, scalar_vals
+                )
+                res = []
+                for j, y in enumerate(bys):
+                    y = jnp.broadcast_to(jnp.asarray(y, dtype), bshape)
+                    if not full_domain:
+                        mask = None
+                        for d2 in range(rank):
+                            iv = b_index(d2)
+                            m = (iv >= bounds.lb[d2]) & (iv < bounds.ub[d2])
+                            mask = m if mask is None else (mask & m)
+                        if j < n_in:
+                            seed = ext_slice(
+                                j, d, d0_core, d0_core + out_w
+                            ).astype(dtype)
+                        else:
+                            seed = jnp.zeros(bshape, dtype)
+                        y = jnp.where(mask, y, seed)
+                    res.append(y)
+                return res
+
+            outs = _run_band_fixups(
+                outs, n_in, strips, ext_slice, sharded_dims, need, nloc,
+                rank, gstart, replay,
+            )
 
             vals = [outs[i] for i in ret_index]
             return vals[0] if len(vals) == 1 else tuple(vals)
@@ -710,50 +794,18 @@ def _shardmap_fused_composite(
             strips, ext_slice, sharded_dims = _strip_exchange(
                 list(locs), nloc, rank, names, halo, False
             )
-            for d in sharded_dims:
-                lo_n, hi_n = halo[d]
-                for side in ("lo", "hi"):
-                    out_w = lo_n if side == "lo" else hi_n
-                    if out_w == 0:
-                        continue
-                    band_args = [
-                        _stitch_band(
-                            ext_slice, strips, fi, d, side, lo_n, hi_n, nloc
-                        )
-                        for fi in range(n_args)
-                    ]
-                    if side == "lo":
-                        base_d = gstart[d] - lo_n
-                        d0_core = 0
-                    else:
-                        base_d = gstart[d] + nloc[d] - (lo_n + hi_n)
-                        d0_core = nloc[d] - out_w
-                    bases = []
-                    for d2 in range(rank):
-                        if d2 == d:
-                            bases.append(base_d)
-                        elif d2 < d and d2 in strips[0]:
-                            bases.append(gstart[d2] - halo[d2][0])
-                        else:
-                            bases.append(gstart[d2])
-                    bshape = band_args[0].shape
-                    bout = _eval_opdef_local(
-                        cm.module, fn.name, band_args, bshape, bases, "jnp"
-                    )
-                    bouts = list(bout) if isinstance(bout, tuple) else [bout]
-                    sl = [slice(None)] * rank
-                    sl[d] = slice(lo_n, lo_n + out_w)
-                    for e in range(d):
-                        if e in strips[0]:
-                            sl[e] = slice(halo[e][0], halo[e][0] + nloc[e])
-                    pos = tuple(
-                        d0_core if e == d else 0 for e in range(rank)
-                    )
-                    for j in range(len(outs)):
-                        outs[j] = lax.dynamic_update_slice(
-                            outs[j], bouts[j][tuple(sl)], pos
-                        )
 
+            def replay(band_args, zone):
+                bout = _eval_opdef_local(
+                    cm.module, fn.name, band_args, band_args[0].shape,
+                    list(zone.bases), "jnp",
+                )
+                return list(bout) if isinstance(bout, tuple) else [bout]
+
+            outs = _run_band_fixups(
+                outs, n_args, strips, ext_slice, sharded_dims, halo, nloc,
+                rank, gstart, replay,
+            )
             return outs[0] if len(outs) == 1 else tuple(outs)
 
         return shard_map(
@@ -1016,48 +1068,18 @@ def shardmap_sweeps(
             strips_all, ext_slice_k, sharded_dims = _strip_exchange(
                 [xl], nloc, rank, names, need_k, periodic
             )
-            strips = strips_all[0]
 
             # ---- K-sweep trapezoid band fixups ----
-            for d in sharded_dims:
-                lo_n, hi_n = need_k[d]
-                for side in ("lo", "hi"):
-                    out_w = lo_n if side == "lo" else hi_n
-                    if out_w == 0:
-                        continue
-                    if side == "lo":
-                        base_d = gstart[d] - lo_n
-                        d0_core = 0
-                    else:
-                        base_d = gstart[d] + nloc[d] - (lo_n + hi_n)
-                        d0_core = nloc[d] - out_w
-                    band = _stitch_band(
-                        ext_slice_k, strips_all, 0, d, side, lo_n, hi_n, nloc
-                    )
-                    bases = []
-                    for d2 in range(rank):
-                        if d2 == d:
-                            bases.append(base_d)
-                        elif d2 < d and d2 in strips:
-                            bases.append(gstart[d2] - need_k[d2][0])
-                        else:
-                            bases.append(gstart[d2])
-                    bshape = band.shape
-                    band = band.astype(dtype)
-                    for _ in range(k):
-                        band = sweep_block(band, bases, bshape)
-                    # output zone starts at band index lo_n on both sides
-                    fix = lax.slice_in_dim(band, lo_n, lo_n + out_w, axis=d)
-                    sl = [slice(None)] * rank
-                    for e in range(d):
-                        if e in strips:
-                            sl[e] = slice(
-                                need_k[e][0], need_k[e][0] + nloc[e]
-                            )
-                    fix = fix[tuple(sl)]
-                    pos = tuple(d0_core if e == d else 0 for e in range(rank))
-                    y = lax.dynamic_update_slice(y, fix, pos)
+            def replay(bands, zone):
+                band = bands[0].astype(dtype)
+                for _ in range(k):
+                    band = sweep_block(band, zone.bases, band.shape)
+                return [band]
 
+            (y,) = _run_band_fixups(
+                [y], 1, strips_all, ext_slice_k, sharded_dims, need_k,
+                nloc, rank, gstart, replay,
+            )
             return y
 
         return shard_map(
