@@ -5,10 +5,12 @@ from .distributed import initialize_multihost
 from .halo import allreduce_sum, halo_pad_local, sharded_stencil
 from .mesh import GridMesh, single_device_mesh
 from .sharded import sharded_function, sharded_opdef
+from .ca_cg import cg_sharded
 from .ca_chebyshev import chebyshev_sharded
 from .sharded_apply import shardmap_opdef, shardmap_sweeps
 
 __all__ = [
+    "cg_sharded",
     "chebyshev_sharded",
     "shardmap_sweeps",
     "initialize_multihost",

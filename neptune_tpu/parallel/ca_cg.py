@@ -1,0 +1,338 @@
+"""Communication-avoiding (s-step) conjugate gradient on sharded fields.
+
+The reference's workhorse KSP solvers are CG/GMRES
+(`/root/reference/lib/Runtime/PETSc/NeptunePETScRuntime.cpp:146-149`); their
+distributed cost on a TPU mesh is dominated by per-iteration collectives —
+two psums (dot products) and one halo exchange per CG iteration. This module
+runs CG in s-step form: per outer step, ONE K-deep strip exchange builds the
+2s+1-vector Krylov basis with the matrix-powers kernel (zero-ghost chains +
+trapezoid band replay, the same machinery as `ca_chebyshev` /
+`shardmap_sweeps`), ONE psum reduces the (2s+1)² Gram matrix, and the s CG
+iterations then run in replicated coefficient space with no communication at
+all — alphas, betas, and every residual norm come from the Gram matrix.
+
+Numerics:
+  * Jacobi preconditioning is applied as a split similarity transform
+    Ã = S A S with S = sqrt(inv_diag) (pointwise), which produces the same
+    x-iterates as left-preconditioned CG with M = diag(inv_diag) in exact
+    arithmetic. Convergence is tested on the preconditioned residual
+    ||S(b - A x)|| <= tol ||S b|| (PETSc's KSP_NORM_PRECONDITIONED default).
+  * Residual replacement every outer step: the basis R-chain is seeded from
+    the TRUE residual r = S b - Ã x recomputed inside the matrix-powers
+    kernel (x rides the same strip exchange as p), so coefficient-space
+    drift cannot accumulate across outer steps — the classic s-step CG
+    stability fix (Carson & Demmel), here at zero extra communication.
+  * basis="monomial" (default, fine for small s) or "chebyshev" (shifted,
+    needs lam_min/lam_max of Ã; keeps the basis well-conditioned at larger
+    s — the Gram matrix of a monomial basis degrades as kappa^s).
+
+Communication per s iterations: one exchange of s·reach-deep strips of two
+fields (p, x) + one (2s+1)² psum, versus s exchanges + 2s psums for
+per-iteration CG. The matvec count is ~2s per s iterations (the two-seed
+basis needs both the p-chain and the r-chain) — the inherent CA-CG
+trade: ~2x local stencil work for a ~s-fold collective-latency cut.
+
+No reference counterpart (the reference is single-process,
+SURVEY.md §2.8); the algorithm family is s-step/CA-Krylov (Chronopoulos &
+Gear; Carson & Demmel residual replacement).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+from jax import lax
+from jax import shard_map
+
+from ..ir.types import Bounds, TempType
+from ..lowering import jnp_backend
+from ..solvers.krylov import SolveInfo
+from .mesh import GridMesh
+from .sharded_apply import (
+    _fused_plan,
+    _run_band_fixups,
+    _single_apply,
+    _stitch_band,
+    _strip_exchange,
+)
+
+
+def _basis_matrix(s: int, basis: str, theta, delta, dtype):
+    """Change-of-basis matrix B with A·V_j = sum_i B[i,j]·V_i per chain.
+
+    Basis layout: columns 0..s are the p-chain, s+1..2s the r-chain. The
+    top-degree columns (s and 2s) are never applied by the coefficient
+    recurrences (degree bookkeeping keeps coefficients representable), so
+    their columns are zero."""
+    m = 2 * s + 1
+    B = np.zeros((m, m))
+
+    def fill(base, length):
+        # chain vectors v_0..v_{length-1} at rows/cols base..base+length-1
+        for j in range(length - 1):
+            c = base + j
+            if basis == "monomial":
+                B[c + 1, c] = 1.0
+            else:  # chebyshev: A v_j = theta v_j + (delta/2)(v_{j+1}+v_{j-1})
+                B[c, c] = theta
+                B[c + 1, c] = delta if j == 0 else delta / 2.0
+                if j > 0:
+                    B[c - 1, c] = delta / 2.0
+
+    fill(0, s + 1)
+    fill(s + 1, s)
+    return jnp.asarray(B, dtype)
+
+
+def cg_sharded(
+    cm,
+    name: str,
+    gmesh: GridMesh,
+    *,
+    s: int = 4,
+    maxiter: int = 200,
+    tol: float = 1e-6,
+    inv_diag=None,
+    basis: str = "monomial",
+    lam_min: Optional[float] = None,
+    lam_max: Optional[float] = None,
+) -> Callable:
+    """Build a jittable communication-avoiding CG solve for A = @name.
+
+    Returns solve(b) -> (x, SolveInfo). A must be SPD on its interior (the
+    boundary copy-through rows act as identity rows, which keeps SPD-ness
+    when inv_diag is 1 there). inv_diag, if given, is the Jacobi
+    preconditioner diagonal (an array over the full field domain, sharded
+    like b). basis="chebyshev" requires lam_min/lam_max bounding the
+    spectrum of Ã = S A S (estimate with `solvers.chebyshev
+    .estimate_spectrum` over a `shardmap_opdef` matvec)."""
+    if s < 1:
+        raise ValueError("s must be >= 1")
+    if basis not in ("monomial", "chebyshev"):
+        raise ValueError(f"unknown basis {basis!r}")
+    if basis == "chebyshev" and (lam_min is None or lam_max is None):
+        raise ValueError("basis='chebyshev' needs lam_min and lam_max")
+    fn = cm.module.lookup(name)
+    tt: TempType = fn.ftype.inputs[0]
+    rank = tt.bounds.rank
+    if len(fn.ftype.inputs) != 1 or len(fn.ftype.results) != 1:
+        raise ValueError("cg_sharded needs a unary, single-result opdef")
+    op = _single_apply(fn)
+    if op is None:
+        raise ValueError("cg_sharded needs a single-apply opdef body")
+    names = list(gmesh.axis_names[:rank]) + [None] * (
+        rank - len(gmesh.axis_names)
+    )
+    plan = _fused_plan(fn, op, gmesh, names, tt, sweeps_k=s)
+    if plan is None:
+        raise ValueError(
+            f"@{name} is not eligible at s={s} "
+            "(non-constant scalars, or s*reach exceeds a shard)"
+        )
+    need, scalar_vals, _ret_index, _arg_order = plan
+    spec = gmesh.pspec(rank)
+
+    out_type: TempType = op.results[0].type
+    outer = out_type.bounds
+    bounds: Bounds = op.attrs["bounds"]
+    dtype = jnp.dtype(out_type.element)
+    full_domain = bounds == outer
+    periodic = bool(op.attrs.get("periodic"))
+    wrap = tuple(periodic and not names[d] for d in range(rank))
+    input_lb = op.operands[0].type.bounds.lb
+
+    m = 2 * s + 1
+    if basis == "chebyshev":
+        theta = 0.5 * (lam_max + lam_min)
+        delta = 0.5 * (lam_max - lam_min)
+    else:
+        theta = delta = 0.0
+    Bmat = _basis_matrix(s, basis, theta, delta, dtype)
+
+    def global_fn(b):
+        def local_fn(bl, sl):
+            nloc = bl.shape
+            gstart = []
+            for d in range(rank):
+                nm = names[d]
+                base = lax.axis_index(nm) * nloc[d] if nm else jnp.int32(0)
+                gstart.append(
+                    jnp.asarray(base, jnp.int32) + jnp.int32(outer.lb[d])
+                )
+
+            def adj_of(offset):
+                return tuple(
+                    o + (lb_o - lb_i)
+                    for o, lb_o, lb_i in zip(offset, outer.lb, input_lb)
+                )
+
+            def matvec_block(u, bases, shape):
+                """One zero-ghost masked apply of A over an arbitrary block."""
+
+                def access_fn(_k, offset):
+                    return jnp_backend.shift_read(u, adj_of(offset), wrap)
+
+                def index_fn(d):
+                    iv = lax.broadcasted_iota(jnp.int32, shape, d)
+                    return iv + bases[d]
+
+                ys = jnp_backend.eval_scalar_dag(
+                    op.region(0), rank, 1, access_fn, index_fn, scalar_vals
+                )
+                y = jnp.broadcast_to(jnp.asarray(ys[0], dtype), shape)
+                if not full_domain:
+                    mask = None
+                    for d in range(rank):
+                        iv = index_fn(d)
+                        mk = (iv >= bounds.lb[d]) & (iv < bounds.ub[d])
+                        mask = mk if mask is None else (mask & mk)
+                    y = jnp.where(mask, y, u.astype(dtype))
+                return y
+
+            def Amv(v, S_blk, bases, shape):
+                """Ã v = S * A(S * v) (S=None: plain A)."""
+                u = v if S_blk is None else S_blk * v
+                w = matvec_block(u, bases, shape)
+                return w if S_blk is None else S_blk * w
+
+            def chains(x_blk, p_blk, bt_blk, S_blk, bases, shape):
+                """Matrix-powers kernel on a block: the 2s+1 basis vectors
+                [p, Ãp, .., Ã^s p, r, Ãr, .., Ã^{s-1} r] with the TRUE
+                residual seed r = b̃ - Ã x (residual replacement)."""
+
+                def chain(seed, length):
+                    vs = [seed]
+                    for j in range(length - 1):
+                        Av = Amv(vs[-1], S_blk, bases, shape)
+                        if basis == "monomial":
+                            vs.append(Av)
+                        elif j == 0:
+                            vs.append((Av - theta * vs[-1]) / delta)
+                        else:
+                            vs.append(
+                                2.0 * (Av - theta * vs[-1]) / delta - vs[-2]
+                            )
+                    return vs
+
+                r0 = bt_blk - Amv(x_blk, S_blk, bases, shape)
+                return chain(p_blk, s + 1) + chain(r0, s)
+
+            # ---- constants: b̃ = S b, its strips, and S's strips (both
+            # iteration-constant: exchanged ONCE, outside the while loop —
+            # XLA cannot hoist collectives out of the loop body) ----
+            S_loc = None if sl is None else jnp.sqrt(sl.astype(dtype))
+            btl = bl.astype(dtype) if S_loc is None else S_loc * bl
+            need_k = [(s * lo, s * hi) for lo, hi in need]
+            cfields = [btl] if S_loc is None else [btl, S_loc]
+            c_strips, c_ext, _ = _strip_exchange(
+                cfields, nloc, rank, names, need_k, periodic
+            )
+
+            def gsum(v):
+                for nm in names[:rank]:
+                    if nm:
+                        v = lax.psum(v, nm)
+                return v
+
+            b2 = gsum(jnp.sum(btl * btl))
+            target2 = jnp.asarray(tol * tol, dtype) * b2
+
+            def outer_body(carry):
+                x, p, rr, it = carry
+                # ---- one exchange: s-deep strips of (x, p) ----
+                strips, ext_slice, sharded_dims = _strip_exchange(
+                    [x, p], nloc, rank, names, need_k, periodic
+                )
+                # main chains on the core block
+                V = chains(x, p, btl, S_loc, gstart, nloc)
+
+                # band fixups: replay the chains on strip-stitched bands
+                def replay(bands, zone):
+                    bx, bp = (bb.astype(dtype) for bb in bands)
+                    bbt = _stitch_band(
+                        c_ext, c_strips, 0, zone.d, zone.side, zone.lo_n,
+                        zone.hi_n, nloc,
+                    ).astype(dtype)
+                    bS = (
+                        _stitch_band(
+                            c_ext, c_strips, 1, zone.d, zone.side,
+                            zone.lo_n, zone.hi_n, nloc,
+                        ).astype(dtype)
+                        if S_loc is not None
+                        else None
+                    )
+                    return chains(bx, bp, bbt, bS, zone.bases, bx.shape)
+
+                V = _run_band_fixups(
+                    V, 2, strips, ext_slice, sharded_dims, need_k, nloc,
+                    rank, gstart, replay,
+                )
+
+                # ---- one psum: the Gram matrix ----
+                Vs = jnp.stack([v.reshape(-1) for v in V])
+                G = gsum(Vs @ Vs.T)
+
+                # ---- s CG iterations in replicated coefficient space ----
+                x_c = jnp.zeros((m,), dtype)
+                r_c = jnp.zeros((m,), dtype).at[s + 1].set(1.0)
+                p_c = jnp.zeros((m,), dtype).at[0].set(1.0)
+                # seed rr from the true residual (replacement): ||r||² = G[r,r]
+                rr_j = G[s + 1, s + 1]
+                it_j = it
+                for _ in range(s):
+                    active = (rr_j > target2) & (it_j < maxiter)
+                    w_c = Bmat @ p_c
+                    Gp = G @ w_c
+                    pAp = jnp.sum(p_c * Gp)
+                    alpha = jnp.where(
+                        active, rr_j / jnp.where(pAp == 0, 1.0, pAp), 0.0
+                    )
+                    x_c = x_c + alpha * p_c
+                    r_c = r_c - alpha * w_c
+                    rr_new = jnp.sum(r_c * (G @ r_c))
+                    beta = jnp.where(
+                        active, rr_new / jnp.where(rr_j == 0, 1.0, rr_j), 0.0
+                    )
+                    p_c = jnp.where(active, r_c + beta * p_c, p_c)
+                    rr_j = jnp.where(active, rr_new, rr_j)
+                    it_j = it_j + active.astype(jnp.int32)
+
+                # ---- recover x, p from the basis (local, no comm) ----
+                Vstack = jnp.stack(V)
+                x = x + jnp.tensordot(x_c, Vstack, axes=1)
+                p = jnp.tensordot(p_c, Vstack, axes=1)
+                return x, p, rr_j, it_j
+
+            def cond(carry):
+                _x, _p, rr, it = carry
+                return (it < maxiter) & (rr > target2)
+
+            x0 = jnp.zeros(nloc, dtype)
+            x, p, rr, it = lax.while_loop(
+                cond, outer_body, (x0, btl, b2, jnp.int32(0))
+            )
+            # un-transform: x = S y
+            if S_loc is not None:
+                x = S_loc * x
+            return x, rr, it, target2
+
+        has_id = inv_diag is not None
+        idl = inv_diag if has_id else jnp.zeros(())
+        x, rr, it, target2 = shard_map(
+            lambda bb, ii: local_fn(bb, ii if has_id else None),
+            mesh=gmesh.mesh,
+            in_specs=(spec, spec if has_id else gmesh.pspec(0)),
+            out_specs=(spec,) + (gmesh.pspec(0),) * 3,
+            check_vma=False,
+        )(b, idl)
+        info = SolveInfo(
+            iters=it,
+            resnorm=jnp.sqrt(rr),
+            converged=rr <= target2,
+        )
+        return x, info
+
+    return global_fn
