@@ -1,11 +1,14 @@
-"""Headline benchmark. Prints ONE JSON line:
+"""Headline benchmark. The default run prints one JSON line per BASELINE.md
+config — 3-D 7-pt, 4th-order advection, CG iters/sec, sharded path,
+mixed-precision 1e-10, CA-CG — and ends with the headline line
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-
-Headline: 2-D 5-point Jacobi sweep on a 1024² float32 grid (BASELINE.json
-config #1), measured in cell-updates/sec/chip. vs_baseline is the ratio
-against the BASELINE.md target of 80% of the per-chip HBM-bandwidth roofline
-(v5e: 819 GB/s / 8 B-per-cell = 102.4 Gcell/s; target 81.9 Gcell/s). The
-reference publishes no numbers of its own (BASELINE.md).
+(2-D 5-pt Jacobi 1024² f32 cell-updates/sec/chip) so the driver's
+last-line parse still lands on the headline while BENCH_r{N}.json's tail
+captures the whole table. vs_baseline is the ratio against BASELINE.md's
+target of 80% of the per-chip HBM-bandwidth roofline (v5e: 819 GB/s /
+8 B-per-cell = 102.4 Gcell/s; target 81.9 Gcell/s); rows BASELINE.md marks
+"measured" (no target) report vs_baseline against the same 80% bar for
+scale. The reference publishes no numbers of its own (BASELINE.md).
 
 Timing method: K sweeps inside one jitted fori_loop, completion forced by a
 checksum fetch, device time taken as the slope between two K values (the axon
@@ -581,8 +584,188 @@ def cg_mixed_entry():
     }
 
 
+def core_table():
+    """One driver-parsable JSON line per BASELINE.md config (VERDICT r2
+    weak #2: every number the docs claim should exist as a driver-captured
+    artifact, not only the self-reported benchmarks/results.json)."""
+    import jax
+    import jax.numpy as jnp
+
+    import neptune_tpu as ntp
+
+    lines = []
+    rng = np.random.default_rng(0)
+
+    # 3-D 7-pt heat 256^3 (target >= 80% of HBM roofline)
+    m = 256
+    x3 = jnp.asarray(rng.standard_normal((m, m, m)).astype(np.float32))
+    dt = timed_sweep(make_heat_3d(m), x3, 20, 100)
+    cells = m**3 / dt
+    lines.append({
+        "metric": "3D 7-pt heat cell-updates/sec/chip (256^3 f32)",
+        "value": round(cells / 1e9, 2),
+        "unit": "Gcell/s",
+        "vs_baseline": round(cells / TARGET_CELLS, 3),
+    })
+
+    # 4th-order advection (wide stencil; BASELINE "measured")
+    n = 1024
+    x2 = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
+    dt = timed_sweep(make_advection_2d(n), x2, 300, 1500)
+    cells = n * n / dt
+    lines.append({
+        "metric": "4th-order advection cell-updates/sec/chip (1024^2 f32)",
+        "value": round(cells / 1e9, 2),
+        "unit": "Gcell/s",
+        "vs_baseline": round(cells / TARGET_CELLS, 3),
+    })
+
+    # matrix-free CG + Jacobi iters/sec, 512^2 Poisson (converging solves)
+    import jax as _jax
+    from neptune_tpu.solvers.fused import fused_cg
+    from neptune_tpu.solvers.precond import safe_inv_diag
+
+    n, maxit, tol = 512, 5500, 1e-4
+    ntp.reset_context()
+
+    @ntp.linear_op_def(
+        bounds=([0, 0], [n, n]),
+        interior=([1, 1], [n - 1, n - 1]),
+        dtype="float32",
+        name="poisson",
+    )
+    def poisson(u):
+        return 4.0 * u[0, 0] - u[-1, 0] - u[1, 0] - u[0, -1] - u[0, 1]
+
+    H = ntp.assemble_matrix(poisson)
+    bb = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
+    cm = ntp.get_context().compiled()
+    solve_f = fused_cg(
+        cm.module, "poisson", tol=tol, maxiter=maxit,
+        inv_diag=safe_inv_diag(H.diagonal()),
+    )
+
+    @_jax.jit
+    def one(b):
+        x, it, rn = solve_f(b)
+        return x, it, rn
+
+    x, it, rn = one(bb)
+    _ = float(jnp.sum(x))
+    t0 = time.perf_counter()
+    x, it, rn = one(bb)
+    _ = float(jnp.sum(x))
+    total = time.perf_counter() - t0
+    iters = int(it)
+    converged = bool(float(rn) <= tol * float(jnp.linalg.norm(bb))) and iters < maxit
+    lines.append({
+        "metric": "matrix-free CG+Jacobi iters/sec (512^2 Poisson f32, tol 1e-4)",
+        "value": round(iters / total, 0),
+        "unit": "iters/s",
+        "vs_baseline": round(iters / total / 1e5, 3),
+        "iters": iters,
+        "converged": converged,
+    })
+
+    # sharded execution path (fused strip exchange, 1-dev mesh on the real
+    # chip; multi-device validated by __graft_entry__.dryrun_multichip)
+    from neptune_tpu.parallel import GridMesh, shardmap_opdef
+
+    n = 1024
+    make_jacobi_2d(n)
+    cm = ntp.get_context().compiled()
+    gm = GridMesh((1,), ("x",), devices=jax.devices()[:1])
+    mv = shardmap_opdef(cm, "jacobi", gm, backend="jnp")
+    x2 = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
+    dt = timed_sweep(mv, x2, 500, 2500)
+    cells = n * n / dt
+    lines.append({
+        "metric": "sharded fused-strip 2D 5-pt (1024^2 f32, shard_map 1-dev)",
+        "value": round(cells / 1e9, 2),
+        "unit": "Gcell/s",
+        "vs_baseline": round(cells / TARGET_CELLS, 3),
+    })
+
+    # s-step CA-CG (one exchange + one psum per s iterations)
+    from neptune_tpu.parallel import cg_sharded
+
+    nc, s_steps = 256, 8
+    ntp.reset_context()
+
+    @ntp.linear_op_def(
+        bounds=([0, 0], [nc, nc]),
+        interior=([1, 1], [nc - 1, nc - 1]),
+        dtype="float32",
+        name="lap_cacg",
+    )
+    def lap_cacg(u):
+        return 4.0 * u[0, 0] - u[-1, 0] - u[1, 0] - u[0, -1] - u[0, 1]
+
+    cmc = ntp.get_context().compiled()
+    bb = np.zeros((nc, nc), np.float32)
+    bb[1:-1, 1:-1] = rng.standard_normal((nc - 2, nc - 2))
+    lmin = 2.0 * (2.0 - 2.0 * np.cos(np.pi / (nc + 1)))
+    bbs = gm.shard(jnp.asarray(bb))
+    solve = jax.jit(
+        cg_sharded(
+            cmc, "lap_cacg", gm, s=s_steps, maxiter=2000, tol=1e-4,
+            basis="chebyshev", lam_min=lmin, lam_max=8.0,
+        )
+    )
+    xs, info = solve(bbs)
+    _ = float(jnp.sum(xs))
+    t0 = time.perf_counter()
+    xs, info = solve(bbs)
+    _ = float(jnp.sum(xs))
+    dt = time.perf_counter() - t0
+    lines.append({
+        "metric": f"CA-CG iters/sec (256^2 Poisson f32, s={s_steps}, tol 1e-4)",
+        "value": round(int(info.iters) / dt, 0),
+        "unit": "iters/s",
+        "vs_baseline": round(int(info.iters) / dt / 1e5, 3),
+        "iters": int(info.iters),
+        "converged": bool(info.converged),
+    })
+
+    # mixed-precision CG to 1e-10 (x64 subprocess; f32 inner + f64 refine)
+    import pathlib
+    import subprocess
+
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import jax; jax.config.update('jax_enable_x64', True); "
+            "import bench, json; print(json.dumps(bench.cg_mixed_entry()))",
+        ],
+        cwd=str(pathlib.Path(__file__).parent),
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    if r.returncode == 0:
+        e = json.loads(r.stdout.strip().splitlines()[-1])
+        lines.append({
+            "metric": "mixed-precision CG to 1e-10 (512^2 Poisson, f32 inner + f64 refine)",
+            "value": round(e["inner_iters_per_sec"], 0),
+            "unit": "inner iters/s",
+            "vs_baseline": round(e["inner_iters_per_sec"] / 1e5, 3),
+            "rounds": e["rounds"],
+            "rel_resnorm": e["rel_resnorm"],
+            "converged": e["converged"],
+        })
+    else:
+        lines.append({
+            "metric": "mixed-precision CG to 1e-10",
+            "value": -1,
+            "unit": "inner iters/s",
+            "vs_baseline": 0.0,
+            "error": r.stderr[-300:],
+        })
+    return lines
+
+
 if __name__ == "__main__":
-    out = headline()
     if "--all" in sys.argv:
         import pathlib
 
@@ -591,4 +774,7 @@ if __name__ == "__main__":
         p.parent.mkdir(exist_ok=True)
         p.write_text(json.dumps(res, indent=2))
         print(json.dumps(res, indent=2), file=sys.stderr)
-    print(json.dumps(out))
+    elif "--headline-only" not in sys.argv:
+        for line in core_table():
+            print(json.dumps(line))
+    print(json.dumps(headline()))
