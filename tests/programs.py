@@ -258,3 +258,116 @@ def bs_A_np(v: np.ndarray) -> np.ndarray:
     L = 2.0e-2 * vxx + 3.0e-2 * vx - 5.0e-2 * v[inter]
     y[inter] = v[inter] - 1e-2 * L
     return y
+
+
+def build_heat3d_explicit(n=8, dt=1e-3):
+    """3-D 7-pt heat, explicit Euler via time_advance method=0 — the rank-3
+    analog of the reference's explicit path (`HighLevelConvertion.cpp:77-120`,
+    which is hard-coded 1-D f64; this build is rank-generic)."""
+    b = NeptuneBuilder()
+    bounds = Bounds.of([0, 0, 0], [n, n, n])
+    interior = Bounds.of([1, 1, 1], [n - 1, n - 1, n - 1])
+    tt = TempType("float64", bounds)
+    ft = FieldType("float64", bounds)
+
+    fn = b.make_opdef("heat3d_rhs", "linear_opdef", [tt], [tt])
+    b.push_block(fn.body)
+    op, body = b.start_apply([fn.body.args[0]], interior)
+    b.push_block(body)
+    u = body.args[3]
+    c = b.access(u, [0, 0, 0])
+    acc = None
+    for off in (
+        [-1, 0, 0], [1, 0, 0], [0, -1, 0], [0, 1, 0], [0, 0, -1], [0, 0, 1]
+    ):
+        a = b.access(u, off)
+        acc = a if acc is None else b.add(acc, a)
+    lap = b.sub(acc, b.mul(b.constant(6.0, F64), c))
+    b.yield_(lap)
+    b.pop_block()
+    b.return_([b.finish_apply(op)])
+    b.pop_block()
+
+    entry = b.make_function(
+        "entry",
+        "func",
+        [TensorType("float64", (n, n, n))],
+        [TensorType("float64", (n, n, n))],
+    )
+    b.push_block(entry.body)
+    f = b.wrap(entry.body.args[0], ft)
+    u0 = b.load(f)
+    u1 = b.time_advance(u0, dt, 0, rhs="heat3d_rhs")
+    b.store(u1, f)
+    b.return_([b.unwrap(f)])
+    b.pop_block()
+    return b.module
+
+
+def heat3d_explicit_oracle(u: np.ndarray, dt=1e-3) -> np.ndarray:
+    lap = np.zeros_like(u)
+    c = u[1:-1, 1:-1, 1:-1]
+    lap[1:-1, 1:-1, 1:-1] = (
+        u[:-2, 1:-1, 1:-1] + u[2:, 1:-1, 1:-1]
+        + u[1:-1, :-2, 1:-1] + u[1:-1, 2:, 1:-1]
+        + u[1:-1, 1:-1, :-2] + u[1:-1, 1:-1, 2:] - 6.0 * c
+    )
+    # copy-through: rhs k outside the interior equals u (input0 seed), so the
+    # combination apply (full domain) computes u + dt*u there... no: the
+    # combination runs over the FULL bounds with k = copy-through(u). The
+    # oracle must mirror the IR semantics exactly.
+    k = u.copy()
+    k[1:-1, 1:-1, 1:-1] = lap[1:-1, 1:-1, 1:-1]
+    return u + dt * k
+
+
+def build_periodic_advection4(n=16, c=0.3):
+    """Periodic 4th-order centered advection (wide ±2 stencil) — exercises
+    the `periodic` apply attr + wide StencilShape the reference models via
+    StencilShapeAttr (`NeptuneIRAttrs.td:53-76`) but never lowers periodically."""
+    b = NeptuneBuilder()
+    bounds = Bounds.of([0, 0], [n, n])
+    tt = TempType("float64", bounds)
+    ft = FieldType("float64", bounds)
+
+    fn = b.make_opdef("adv4", "linear_opdef", [tt], [tt])
+    b.push_block(fn.body)
+    op, body = b.start_apply([fn.body.args[0]], bounds, periodic=True)
+    b.push_block(body)
+    u = body.args[2]
+    # d/dx via 4th-order central: (-u[+2] + 8u[+1] - 8u[-1] + u[-2]) / 12
+    num = b.add(
+        b.sub(
+            b.mul(b.constant(8.0, F64), b.access(u, [1, 0])),
+            b.mul(b.constant(8.0, F64), b.access(u, [-1, 0])),
+        ),
+        b.sub(b.access(u, [-2, 0]), b.access(u, [2, 0])),
+    )
+    dudx = b.mul(b.constant(1.0 / 12.0, F64), num)
+    b.yield_(b.sub(b.access(u, [0, 0]), b.mul(b.constant(c, F64), dudx)))
+    b.pop_block()
+    b.return_([b.finish_apply(op)])
+    b.pop_block()
+
+    entry = b.make_function(
+        "entry",
+        "func",
+        [TensorType("float64", (n, n))],
+        [TensorType("float64", (n, n))],
+    )
+    b.push_block(entry.body)
+    f = b.wrap(entry.body.args[0], ft)
+    u0 = b.load(f)
+    u1 = b.apply_linear("adv4", [u0])
+    b.store(u1, f)
+    b.return_([b.unwrap(f)])
+    b.pop_block()
+    return b.module
+
+
+def periodic_advection4_oracle(u: np.ndarray, c=0.3) -> np.ndarray:
+    dudx = (
+        -np.roll(u, -2, 0) + 8 * np.roll(u, -1, 0)
+        - 8 * np.roll(u, 1, 0) + np.roll(u, 2, 0)
+    ) / 12.0
+    return u - c * dudx
