@@ -16,11 +16,29 @@ GOLDEN = Path(__file__).parent / "golden"
 
 
 def _dumps():
+    """Eight goldens across four program families (reference breadth:
+    4 lit tests in `test/mlir_tests/` + 5 smoke scenarios in
+    `test/smoke_tests/*.mlir`): implicit-linear 1-D, explicit 3-D
+    (time_advance method=0 expansion), periodic wide-stencil (the
+    verify-annotate dump pins the halo/total_shape metadata that drives
+    sharding), and nonlinear (solve_nonlinear after full annotation)."""
+    out = {}
     pr = run_pipeline(programs.build_allen_cahn_implicit_linear())
-    return {
-        "allen_cahn_input.ntir": pr.dumps["input"],
-        "allen_cahn_lowered.ntir": pr.dumps["high-level-convertion"],
-    }
+    out["allen_cahn_input.ntir"] = pr.dumps["input"]
+    out["allen_cahn_lowered.ntir"] = pr.dumps["high-level-convertion"]
+
+    pr = run_pipeline(programs.build_heat3d_explicit())
+    out["heat3d_input.ntir"] = pr.dumps["input"]
+    out["heat3d_lowered.ntir"] = pr.dumps["high-level-convertion"]
+
+    pr = run_pipeline(programs.build_periodic_advection4())
+    out["periodic_adv4_input.ntir"] = pr.dumps["input"]
+    out["periodic_adv4_annotated.ntir"] = pr.dumps["verify-annotate"]
+
+    pr = run_pipeline(programs.build_allen_cahn_nonlinear())
+    out["allen_cahn_nonlinear_input.ntir"] = pr.dumps["input"]
+    out["allen_cahn_nonlinear_annotated.ntir"] = pr.dumps["post-convert-verify"]
+    return out
 
 
 def regenerate():
@@ -29,7 +47,19 @@ def regenerate():
         (GOLDEN / name).write_text(text)
 
 
-@pytest.mark.parametrize("name", ["allen_cahn_input.ntir", "allen_cahn_lowered.ntir"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "allen_cahn_input.ntir",
+        "allen_cahn_lowered.ntir",
+        "heat3d_input.ntir",
+        "heat3d_lowered.ntir",
+        "periodic_adv4_input.ntir",
+        "periodic_adv4_annotated.ntir",
+        "allen_cahn_nonlinear_input.ntir",
+        "allen_cahn_nonlinear_annotated.ntir",
+    ],
+)
 def test_golden_dump(name):
     expected = (GOLDEN / name).read_text()
     actual = _dumps()[name]
@@ -51,3 +81,35 @@ def test_golden_files_parse_and_execute():
     out = np.asarray(cm.function("entry")(np.zeros(16), uin))
     oracle = programs.allen_cahn_implicit_linear_oracle(uin)
     np.testing.assert_allclose(out, oracle, atol=1e-10)
+
+
+def test_golden_heat3d_parses_and_executes():
+    import numpy as np
+
+    from neptune_tpu.ir.parser import parse_module
+    from neptune_tpu.passes import compile_ir
+
+    m = parse_module((GOLDEN / "heat3d_input.ntir").read_text())
+    cm = compile_ir(m)
+    rng = np.random.default_rng(3)
+    uin = rng.standard_normal((8, 8, 8))
+    out = np.asarray(cm.function("entry")(uin))
+    np.testing.assert_allclose(
+        out, programs.heat3d_explicit_oracle(uin), atol=1e-12
+    )
+
+
+def test_golden_periodic_adv4_parses_and_executes():
+    import numpy as np
+
+    from neptune_tpu.ir.parser import parse_module
+    from neptune_tpu.passes import compile_ir
+
+    m = parse_module((GOLDEN / "periodic_adv4_input.ntir").read_text())
+    cm = compile_ir(m)
+    rng = np.random.default_rng(4)
+    uin = rng.standard_normal((16, 16))
+    out = np.asarray(cm.function("entry")(uin))
+    np.testing.assert_allclose(
+        out, programs.periodic_advection4_oracle(uin), atol=1e-12
+    )
