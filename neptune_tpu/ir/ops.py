@@ -461,6 +461,34 @@ class NeptuneBuilder(Builder):
         operands = list(initial_guess) + list(captures)
         for a, t in zip(operands, fn.ftype.inputs):
             _check(a.type == t, f"solve_nonlinear arg {a.type} != residual input {t}")
+        if jacobian is not None:
+            # use-or-reject: the reference accepts `jacobian` but never
+            # consumes it (NeptuneIROps.td:705 "supply a linearization";
+            # no consumer in HighLevelConvertion.cpp / RuntimeLowering.cpp).
+            # Here it is USED — the opdef computes J·v for the inner Krylov
+            # solve — so malformed signatures are hard errors, not silently
+            # swallowed user input. Two accepted shapes:
+            #   (v_states...) -> states                  constant Jacobian
+            #   (v..., u..., captures...) -> states      J(u; captures)·v
+            _check(
+                jacobian in self.module.functions,
+                f"unresolved jacobian symbol @{jacobian}",
+            )
+            jfn = self.module.lookup(jacobian)
+            _check(jfn.is_opdef, f"jacobian @{jacobian} is not an opdef")
+            state_tys = [v.type for v in initial_guess]
+            const_form = state_tys
+            full_form = state_tys + state_tys + [c.type for c in captures]
+            _check(
+                list(jfn.ftype.inputs) in (const_form, full_form),
+                f"jacobian @{jacobian} signature {list(jfn.ftype.inputs)} "
+                f"matches neither (v_states...) nor (v..., u..., captures...); "
+                f"expected {const_form} or {full_form}",
+            )
+            _check(
+                list(jfn.ftype.results) == state_tys,
+                f"jacobian @{jacobian} must return one temp per state",
+            )
         from ..utils.options import NONLINEAR_OPTION_KEYS, parse_options
 
         opts = parse_options(options, NONLINEAR_OPTION_KEYS, where="solve_nonlinear")

@@ -485,6 +485,21 @@ class CompiledModule:
             out = residual_fn(*states, *captures)
             return out if isinstance(out, tuple) else (out,)
 
+        jac_mv = None
+        jac_sym = op.attrs.get("jacobian")
+        if jac_sym is not None:
+            # user-supplied linearization (builder verified the signature:
+            # either (v...) constant-J or (v..., u..., captures...) full form)
+            jac_fn = self.opdef(jac_sym)
+            n_jac_in = len(self.module.lookup(jac_sym).ftype.inputs)
+
+            def jac_mv(u, v):
+                args = tuple(v) if n_jac_in == n_state else (
+                    tuple(v) + tuple(u) + captures
+                )
+                out = jac_fn(*args)
+                return out if isinstance(out, tuple) else (out,)
+
         method = op.attrs["method"]
         from ..utils.options import merged_nonlinear_options, nonlinear_option_kwargs
 
@@ -500,6 +515,7 @@ class CompiledModule:
                 max_iters=op.attrs["max_iters"],
                 krylov_tol=op.attrs.get("krylov_tol", 1e-6),
                 krylov_iters=op.attrs.get("krylov_iters", 200),
+                jac_mv=jac_mv,
                 **okw,
             )
         elif method == "picard":

@@ -46,12 +46,17 @@ def newton_krylov(
     line_search: bool = True,
     max_backtracks: int = 25,
     max_step: Optional[float] = None,
+    jac_mv: Optional[Callable] = None,
 ):
     """Solve F(x) = 0 by Newton's method with GMRES inner solves.
 
     residual: pytree -> pytree (same structure).
     Convergence: ||F(x)|| <= max(tol * ||F(x0)||, atol) — SNES-style rtol+atol.
     max_step caps ||dx|| per Newton iteration (PETSc -snes_linesearch_maxstep).
+    jac_mv: optional user linearization `(x, v) -> J(x)·v` (the consumed
+    `jacobian=` attr of solve_nonlinear); default is the exact jvp of
+    `residual`. An approximate jac_mv yields inexact Newton — the line
+    search still globalizes on the true residual.
     """
     F0 = residual(x0)
     f0norm = tnorm(F0)
@@ -68,6 +73,8 @@ def newton_krylov(
         x, F, fnorm, k, kry, stall_count = state
 
         def jv(v):
+            if jac_mv is not None:
+                return jac_mv(x, v)
             return jax.jvp(residual, (x,), (v,))[1]
 
         # Solve J dx = -F  (matrix-free, exact J·v via jvp)
