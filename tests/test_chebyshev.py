@@ -5,6 +5,8 @@ exact and auto-estimated spectrum bounds, the structural reduction-free
 property of the check_every=0 loop, early stopping, DSL-level dispatch,
 and per-solver option validation."""
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -149,3 +151,77 @@ class TestChebyshev:
             "chebyshev", {"lam_min": 0.1, "lam_max": 4.0, "check_every": 10}
         )
         assert kw == {"lam_min": 0.1, "lam_max": 4.0, "check_every": 10}
+
+
+class TestResidualReplacement:
+    """f32 drift control (ROADMAP "Numerics"): over thousands of f32
+    iterations the recurrence residual diverges ~1e-5 relative from the
+    true b - A·x. Automatic replacement (default) rebases the recurrence
+    on the true residual at every check boundary, making both the
+    convergence test and the reported resnorm drift-free."""
+
+    N = 256
+
+    def _mv(self, u):
+        z = jnp.zeros_like(u)
+        c = (
+            4.0 * u[1:-1, 1:-1] - u[:-2, 1:-1] - u[2:, 1:-1]
+            - u[1:-1, :-2] - u[1:-1, 2:]
+        )
+        return (
+            z.at[1:-1, 1:-1].set(c)
+            .at[0, :].set(u[0, :]).at[-1, :].set(u[-1, :])
+            .at[1:-1, 0].set(u[1:-1, 0]).at[1:-1, -1].set(u[1:-1, -1])
+        )
+
+    def _problem(self):
+        n = self.N
+        rng = np.random.default_rng(0)
+        b = np.zeros((n, n), np.float32)
+        b[1:-1, 1:-1] = rng.standard_normal((n - 2, n - 2))
+        lam_min = float(4 - 4 * np.cos(np.pi / (n - 1)))
+        return jnp.asarray(b), lam_min, 8.0
+
+    def test_without_replacement_claims_drift(self):
+        """The drift is real: opting OUT, the recurrence claims convergence
+        at a tol BELOW the f32 attainable floor (~1.3e-5 here) while the
+        true residual is several times larger (measured 6.2e-6 vs 3.2e-5)."""
+        b, lam_min, lam_max = self._problem()
+        x, info = jax.jit(
+            lambda b: chebyshev(
+                self._mv, b, tol=1e-5, maxiter=6000, check_every=100,
+                lam_min=lam_min, lam_max=lam_max, residual_replacement=False,
+            )
+        )(b)
+        true = jnp.linalg.norm(b - self._mv(x))
+        assert bool(info.converged)  # the recurrence *claims* success...
+        assert float(true) / float(info.resnorm) > 2.0  # ...but lies >2x
+
+    def test_replacement_reports_true_residual(self):
+        """Default mode: honest reporting AND genuine convergence at a tol
+        above the f32 floor."""
+        b, lam_min, lam_max = self._problem()
+        x, info = jax.jit(
+            lambda b: chebyshev(
+                self._mv, b, tol=4e-5, maxiter=6000, check_every=100,
+                lam_min=lam_min, lam_max=lam_max,
+            )
+        )(b)
+        bn = float(jnp.linalg.norm(b))
+        true = float(jnp.linalg.norm(b - self._mv(x)))
+        assert bool(info.converged)
+        assert abs(float(info.resnorm) - true) / true < 0.05
+        assert true / bn <= 4e-5 * 1.05
+
+    def test_replace_every_reduction_free(self):
+        """replace_every rebases inside the reduction-free fori_loop; the
+        solve still matches the drift-free answer."""
+        b, lam_min, lam_max = self._problem()
+        x, info = jax.jit(
+            lambda b: chebyshev(
+                self._mv, b, tol=4e-5, maxiter=1000, check_every=0,
+                replace_every=100, lam_min=lam_min, lam_max=lam_max,
+            )
+        )(b)
+        true = float(jnp.linalg.norm(b - self._mv(x)))
+        assert abs(float(info.resnorm) - true) / max(true, 1e-30) < 0.05
