@@ -36,12 +36,13 @@ import jax.numpy as jnp
 from jax import lax
 from jax import shard_map
 
-from ..ir.types import Bounds, TempType
-from ..lowering import jnp_backend
+from ..ir.types import TempType
 from ..solvers.krylov import SolveInfo
 from .mesh import GridMesh
 from .sharded_apply import (
+    _block_apply,
     _fused_plan,
+    _gstart,
     _run_band_fixups,
     _single_apply,
     _stitch_band,
@@ -100,12 +101,8 @@ def chebyshev_sharded(
 
     out_type: TempType = op.results[0].type
     outer = out_type.bounds
-    bounds: Bounds = op.attrs["bounds"]
     dtype = jnp.dtype(out_type.element)
-    full_domain = bounds == outer
     periodic = bool(op.attrs.get("periodic"))
-    wrap = tuple(periodic and not names[d] for d in range(rank))
-    input_lb = op.operands[0].type.bounds.lb
 
     # the seeding step counts as iteration 1 (as in solvers.chebyshev),
     # so the chunk loop covers the remaining maxiter-1 iterations
@@ -114,45 +111,12 @@ def chebyshev_sharded(
     delta = 0.5 * (lam_max - lam_min)
     sigma1 = theta / delta
 
+    matvec_block = _block_apply(op, names, scalar_vals)
+
     def global_fn(b):
         def local_fn(bl, idl):
             nloc = bl.shape
-            gstart = []
-            for d in range(rank):
-                nm = names[d]
-                base = lax.axis_index(nm) * nloc[d] if nm else jnp.int32(0)
-                gstart.append(
-                    jnp.asarray(base, jnp.int32) + jnp.int32(outer.lb[d])
-                )
-
-            def adj_of(offset):
-                return tuple(
-                    o + (lb_o - lb_i)
-                    for o, lb_o, lb_i in zip(offset, outer.lb, input_lb)
-                )
-
-            def matvec_block(u, bases, shape):
-                """One zero-ghost masked apply of A over an arbitrary block."""
-
-                def access_fn(_k, offset):
-                    return jnp_backend.shift_read(u, adj_of(offset), wrap)
-
-                def index_fn(d):
-                    iv = lax.broadcasted_iota(jnp.int32, shape, d)
-                    return iv + bases[d]
-
-                ys = jnp_backend.eval_scalar_dag(
-                    op.region(0), rank, 1, access_fn, index_fn, scalar_vals
-                )
-                y = jnp.broadcast_to(jnp.asarray(ys[0], dtype), shape)
-                if not full_domain:
-                    mask = None
-                    for d in range(rank):
-                        iv = index_fn(d)
-                        m = (iv >= bounds.lb[d]) & (iv < bounds.ub[d])
-                        mask = m if mask is None else (mask & m)
-                    y = jnp.where(mask, y, u.astype(dtype))
-                return y
+            gstart = _gstart(nloc, rank, names, outer)
 
             def Mz(r, idiag):
                 return r if idiag is None else idiag * r

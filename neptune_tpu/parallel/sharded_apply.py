@@ -427,6 +427,64 @@ def _strip_exchange(inputs_loc, nloc, rank, names, need_k, periodic):
     return strips, ext_slice, sharded_dims
 
 
+def _gstart(nloc, rank, names, outer):
+    """Traced global logical coordinate of local cell (0,...,0) per dim.
+    Must run inside shard_map (reads lax.axis_index)."""
+    out = []
+    for d in range(rank):
+        nm = names[d]
+        base = lax.axis_index(nm) * nloc[d] if nm else jnp.int32(0)
+        out.append(jnp.asarray(base, jnp.int32) + jnp.int32(outer.lb[d]))
+    return out
+
+
+def _block_apply(op, names, scalar_vals):
+    """One zero-ghost masked apply of a single-apply opdef over an arbitrary
+    local block: `apply_block(u, bases, shape)` where bases[d] is the traced
+    global coordinate of block cell 0 in dim d. Out-of-bounds cells get the
+    copy-through value (input0), matching the IR apply contract. The one
+    shared implementation behind every fused sharded path's core/band
+    sweeps (K-sweep, CA-Chebyshev, CA-CG, CA-MG smoothing)."""
+    out_type = op.results[0].type
+    outer = out_type.bounds
+    bounds: Bounds = op.attrs["bounds"]
+    dtype = jnp.dtype(out_type.element)
+    rank = outer.rank
+    full_domain = bounds == outer
+    periodic = bool(op.attrs.get("periodic"))
+    wrap = tuple(periodic and not names[d] for d in range(rank))
+    input_lb = op.operands[0].type.bounds.lb
+
+    def adj_of(offset):
+        return tuple(
+            o + (lb_o - lb_i)
+            for o, lb_o, lb_i in zip(offset, outer.lb, input_lb)
+        )
+
+    def apply_block(u, bases, shape):
+        def access_fn(_k, offset):
+            return jnp_backend.shift_read(u, adj_of(offset), wrap)
+
+        def index_fn(d):
+            iv = lax.broadcasted_iota(jnp.int32, shape, d)
+            return iv + bases[d]
+
+        ys = jnp_backend.eval_scalar_dag(
+            op.region(0), rank, 1, access_fn, index_fn, scalar_vals
+        )
+        y = jnp.broadcast_to(jnp.asarray(ys[0], dtype), shape)
+        if not full_domain:
+            mask = None
+            for d in range(rank):
+                iv = index_fn(d)
+                mk = (iv >= bounds.lb[d]) & (iv < bounds.ub[d])
+                mask = mk if mask is None else (mask & mk)
+            y = jnp.where(mask, y, u.astype(dtype))
+        return y
+
+    return apply_block
+
+
 def _stitch_band(ext_slice, strips, k, d, side, lo_n, hi_n, nloc):
     """The strip-stitched band array for input k along dim d: ghost strip +
     the adjacent core rows (extended along dims < d), covering the edge
