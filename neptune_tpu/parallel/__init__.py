@@ -6,10 +6,13 @@ from .halo import allreduce_sum, halo_pad_local, sharded_stencil
 from .mesh import GridMesh, single_device_mesh
 from .sharded import sharded_function, sharded_opdef
 from .ca_cg import cg_sharded
+from .ca_multigrid import build_ca_levels, ca_smoother
 from .ca_chebyshev import chebyshev_sharded
 from .sharded_apply import shardmap_opdef, shardmap_sweeps
 
 __all__ = [
+    "build_ca_levels",
+    "ca_smoother",
     "cg_sharded",
     "chebyshev_sharded",
     "shardmap_sweeps",

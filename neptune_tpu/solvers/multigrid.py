@@ -45,6 +45,13 @@ class MGLevel(NamedTuple):
     inv_diag: jnp.ndarray  # exact 1/diag(A) on this level's grid
     interior: jnp.ndarray  # bool mask: 1 inside the boundary ring
     cheb_lmax: Optional[jnp.ndarray] = None  # est. lam_max of D^-1 A
+    # communication-avoiding smoothing (parallel.ca_multigrid): when set,
+    # v_cycle smooths with these instead of per-matvec sweeps — k fused
+    # Chebyshev iterations per 1-2 halo exchange rounds, returning the
+    # recurrence residual so pre-smoothing needs no extra matvec
+    ca_smooth: Optional[Callable] = None  # (b, x) -> (x', r')
+    ca_smooth_zero: Optional[Callable] = None  # (b,) -> (x', r')
+    ca_k: int = 0  # the smoother's fused iteration count
 
 
 def _halo_of(op) -> tuple:
@@ -155,8 +162,16 @@ def v_cycle(
     smoother: str = "rb",
     coarse_solver: str = "cg",
     _lvl: int = 0,
+    _x_is_zero: bool = False,
 ):
     """One V(pre,post) cycle for A x = b on the finest grid.
+
+    Levels carrying `ca_smooth` (built by `parallel.ca_multigrid.
+    build_ca_levels`) smooth communication-avoidingly: their baked degree
+    k replaces the pre/post counts there, the pre-smoother's residual is
+    restricted directly (no extra matvec), and a zero initial guess
+    (every coarse level's correction equation; flagged by `_x_is_zero`)
+    skips the residual matvec entirely.
 
     smoother: "rb" (default) — red-black Gauss-Seidel-style sweeps: two
     checkerboard-masked undamped Jacobi half-updates per sweep. For stencils
@@ -213,6 +228,14 @@ def v_cycle(
             # fixed smoothing count: keeps the cycle a LINEAR operator
             # (required when the cycle serves as a Krylov preconditioner —
             # an inner CG solve is nonlinear in b and breaks outer CG)
+            if L.ca_smooth is not None:
+                calls = max(1, coarse_iters // max(L.ca_k, 1))
+                if _x_is_zero:
+                    x, _ = L.ca_smooth_zero(b)
+                    calls -= 1
+                for _ in range(calls):
+                    x, _ = L.ca_smooth(b, x)
+                return x
             return smooth(x, coarse_iters)
         # coarsest: matrix-free CG. The rhs ring is zero (see below) and
         # every Krylov vector keeps a zero ring (identity rows), so CG acts
@@ -223,8 +246,13 @@ def v_cycle(
         x, _ = _cg(L.matvec, b, x0=x, tol=1e-8, maxiter=coarse_iters)
         return x
 
-    x = smooth(x, pre)
-    r = b - L.matvec(x)
+    if L.ca_smooth is not None:
+        # CA pre-smoothing: 1 exchange round from a zero guess, 2 from a
+        # live one — and r falls out of the recurrence for free
+        x, r = L.ca_smooth_zero(b) if _x_is_zero else L.ca_smooth(b, x)
+    else:
+        x = smooth(x, pre)
+        r = b - L.matvec(x)
     # the correction equation has homogeneous Dirichlet data: its rhs must
     # vanish on the coarse ring (identity rows would otherwise *store* the
     # restricted boundary-layer residual as boundary values, and interior
@@ -243,12 +271,16 @@ def v_cycle(
         smoother=smoother,
         coarse_solver=coarse_solver,
         _lvl=_lvl + 1,
+        _x_is_zero=True,
     )
     # zero the correction ring too before interpolating (belt-and-braces:
     # keeps any coarsest-level ring drift out of fine interior cells)
     ec = jnp.where(Lc.interior, ec, jnp.zeros_like(ec))
     e = prolong(ec, x.shape)
     x = x + jnp.where(L.interior, e, jnp.zeros_like(e))
+    if L.ca_smooth is not None:
+        x, _ = L.ca_smooth(b, x)
+        return x
     return smooth(x, post)
 
 
@@ -368,9 +400,15 @@ def mg_preconditioner(
     omega: float = 0.8,
     coarse_iters: int = 32,
     smoother: str = "jacobi",
+    levels: Optional[Sequence[MGLevel]] = None,
 ) -> Callable:
     """M(r) ~= A^-1 r: one V-cycle from a zero guess, for use as the `M`
     of the Krylov solvers (`cg(..., M=mg_preconditioner(...))`).
+
+    Pass `levels=` to reuse a prebuilt hierarchy — in particular
+    `parallel.ca_multigrid.build_ca_levels`, whose fixed-degree Chebyshev
+    smoothing is linear and D-self-adjoint, so the CA cycle remains a
+    valid CG preconditioner.
 
     CG requires a FIXED symmetric positive linear M, so this cycle differs
     from the solver default: symmetric smoothing with equal pre/post counts
@@ -386,13 +424,13 @@ def mg_preconditioner(
             "mg_preconditioner smoother must be 'jacobi' or 'cheb' "
             f"(got {smoother!r}; 'rb' ordering is not symmetric)"
         )
-    lv = build_levels(ops, like)
+    lv = list(levels) if levels is not None else build_levels(ops, like)
 
     def M(r):
         return v_cycle(
             lv, r, jnp.zeros_like(r), pre=pre, post=post, omega=omega,
             coarse_iters=coarse_iters, smoother=smoother,
-            coarse_solver="jacobi",
+            coarse_solver="jacobi", _x_is_zero=True,
         )
 
     return M

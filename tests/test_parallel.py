@@ -836,3 +836,160 @@ def test_ca_chebyshev_early_stop():
     res[1:-1, 0] -= xx[1:-1, 0]
     res[1:-1, -1] -= xx[1:-1, -1]
     assert np.linalg.norm(res) <= 1e-8 * np.linalg.norm(b) * 2
+
+
+class TestCAMultigrid:
+    """Communication-avoiding V-cycle smoothing: each level's pre/post
+    smoothers run k fused Chebyshev iterations per 1-2 halo exchange
+    rounds via the trapezoid band machinery (ca_multigrid), with the
+    pre-smoother's residual restricted straight out of the recurrence."""
+
+    NAMES = ("poisson128", "poisson64", "poisson32", "poisson16")
+
+    def _setup(self, k=3):
+        import sys
+
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from test_multigrid import poisson_ops
+
+        from neptune_tpu.parallel import build_ca_levels
+
+        poisson_ops([128, 64, 32, 16])
+        cm = ntp.get_context().compiled()
+        gm = GridMesh((4, 2), ("x", "y"))
+        lvls = build_ca_levels(
+            cm, self.NAMES, gm, jnp.zeros((128, 128)), k=k
+        )
+        rng = np.random.default_rng(0)
+        b = np.zeros((128, 128))
+        b[1:-1, 1:-1] = rng.standard_normal((126, 126))
+        bs = gm.shard(jnp.asarray(b))
+        return cm, gm, lvls, b, bs
+
+    def test_smoother_matches_chebyshev_trajectory(self):
+        """k fused CA iterations == solvers.chebyshev at maxiter=k over the
+        shardmap matvec, from both zero and live guesses, and the returned
+        residual is the true b - A x' (pre-smoothing restricts it with no
+        extra matvec)."""
+        from neptune_tpu.parallel import ca_smoother, shardmap_opdef
+        from neptune_tpu.solvers.chebyshev import chebyshev
+        from neptune_tpu.solvers.multigrid import build_levels
+
+        cm, gm, lvls, b, bs = self._setup()
+        mv = shardmap_opdef(cm, "poisson128", gm)
+        L = build_levels([mv], jnp.zeros((128, 128)))[0]
+        lmax = float(L.cheb_lmax)
+        k = 3
+        sm, sm0 = ca_smoother(
+            cm, "poisson128", gm, k=k,
+            lam_min=lmax / 4, lam_max=lmax, inv_diag=L.inv_diag,
+        )
+
+        def oracle(bb, x0):
+            y, _ = chebyshev(
+                mv, bb, x0=x0, M=lambda v: L.inv_diag * v,
+                lam_min=lmax / 4, lam_max=lmax, maxiter=k,
+                residual_replacement=False,
+            )
+            return y
+
+        x_ca, r_ca = jax.jit(sm0)(bs)
+        x_or = jax.jit(oracle)(bs, jnp.zeros_like(bs))
+        np.testing.assert_allclose(
+            np.asarray(x_ca), np.asarray(x_or), atol=1e-13
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_ca), np.asarray(bs - mv(x_ca)), atol=1e-10
+        )
+
+        x1 = gm.shard(
+            jnp.asarray(np.random.default_rng(1).standard_normal((128, 128)))
+        )
+        x_ca2, r_ca2 = jax.jit(sm)(bs, x1)
+        x_or2 = jax.jit(oracle)(bs, x1)
+        np.testing.assert_allclose(
+            np.asarray(x_ca2), np.asarray(x_or2), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_ca2), np.asarray(bs - mv(x_ca2)), atol=1e-9
+        )
+
+    def test_convergence_unchanged(self):
+        """CA-smoothed MG solves in the SAME iteration count (same math) as
+        per-matvec cheb smoothing, to the same solution."""
+        from neptune_tpu.parallel import shardmap_opdef
+        from neptune_tpu.solvers import multigrid_solve
+
+        cm, gm, lvls, b, bs = self._setup(k=3)
+        assert [lv.ca_smooth is not None for lv in lvls] == [
+            True, True, True, False,  # 16^2 over (4,2): band exceeds shard
+        ]
+        x, info = multigrid_solve(
+            [None] * 4, bs, tol=1e-9, maxiter=60,
+            levels=lvls, smoother="cheb", pre=3, post=3,
+        )
+        mvs = [shardmap_opdef(cm, nm, gm) for nm in self.NAMES]
+        x_ref, info_ref = multigrid_solve(
+            mvs, bs, tol=1e-9, maxiter=60, smoother="cheb", pre=3, post=3
+        )
+        assert bool(info.converged) and bool(info_ref.converged)
+        assert int(info.iters) == int(info_ref.iters)
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(x_ref), atol=1e-12
+        )
+
+    def test_exchange_rounds_cut(self):
+        """The CA property: one smoothing pass's communication is a single
+        strip-exchange round — its ppermute count is CONSTANT in the
+        smoothing degree k, while a per-matvec smoother must issue k
+        exchange rounds (4 ppermutes each on a 2-axis mesh)."""
+        from neptune_tpu.parallel import ca_smoother, shardmap_opdef
+        from neptune_tpu.solvers.multigrid import build_levels
+
+        cm, gm, lvls, b, bs = self._setup(k=3)
+        mv = shardmap_opdef(cm, "poisson128", gm)
+        L = build_levels([mv], jnp.zeros((128, 128)))[0]
+        lmax = float(L.cheb_lmax)
+
+        def count(f, *a):
+            return str(jax.make_jaxpr(f)(*a)).count("ppermute")
+
+        counts = {}
+        for k in (2, 6):
+            _, sm0 = ca_smoother(
+                cm, "poisson128", gm, k=k,
+                lam_min=lmax / 4, lam_max=lmax, inv_diag=L.inv_diag,
+            )
+            counts[k] = count(sm0, bs)
+
+        # (x, r) strips + the iteration-constant inv_diag strips: 3 fields
+        # x 2 sharded dims x 2 sides = 12 ppermutes, independent of k
+        assert counts[2] == counts[6] == 12, counts
+
+        def naive(k):
+            def f(v):
+                for _ in range(k):
+                    v = mv(v)
+                return v
+            return f
+
+        assert count(naive(6), bs) == 24  # k exchange rounds: 4 each
+        assert counts[6] < count(naive(6), bs)
+
+    def test_ca_mg_preconditions_cg(self):
+        """The CA cycle stays a fixed linear, D-self-adjoint operator:
+        CG with it converges at multigrid rate."""
+        from neptune_tpu.parallel import shardmap_opdef
+        from neptune_tpu.solvers import cg, mg_preconditioner
+
+        cm, gm, lvls, b, bs = self._setup(k=2)
+        mv = shardmap_opdef(cm, "poisson128", gm)
+        M = mg_preconditioner([None], bs, smoother="cheb", levels=lvls)
+
+        @jax.jit
+        def solve(bb):
+            return cg(mv, bb, M=M, tol=1e-8, maxiter=200)
+
+        x, info = solve(bs)
+        assert bool(info.converged)
+        assert int(info.iters) < 40  # multigrid-rate, not CG-rate
