@@ -44,6 +44,25 @@ class Config:
     # Interpret Pallas kernels (debugging; maps to pallas_call(interpret=True)).
     pallas_interpret: bool = os.environ.get("NEPTUNE_TPU_PALLAS_INTERPRET", "0") == "1"
 
+    # Pinned-arithmetic reproducibility mode: make GSPMD-sharded solves
+    # BITWISE identical across mesh shapes (BASELINE.md "bit-stable
+    # convergence"; SURVEY §7 hard part (b)). Two layout-dependent compiler
+    # freedoms are removed at trace time:
+    #   * FMA contraction — every arith.mul in an apply body (and the
+    #     axpy updates inside the Krylov iterations) is fenced with
+    #     lax.optimization_barrier, so mul+add can never contract into an
+    #     FMA whose placement depends on the local tile shape;
+    #   * reduction association — tdot/tnorm sum through a fixed
+    #     pairwise-halving tree over the flat global vector (log2 N
+    #     elementwise adds), so the association order is a function of the
+    #     global element order only, never of the shard layout.
+    # Off by default: the barriers block kernel fusion (extra HBM traffic)
+    # and the pairwise tree costs log2(N) passes vs 1 — see
+    # docs/PERFORMANCE.md for measured cost. jnp/GSPMD paths only; the
+    # shard_map fused paths (ca_*, shardmap_*) are performance paths and
+    # keep default arithmetic.
+    pinned_arithmetic: bool = os.environ.get("NEPTUNE_TPU_PINNED", "0") == "1"
+
 
 config = Config()
 

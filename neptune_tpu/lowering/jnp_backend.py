@@ -27,6 +27,7 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
+from ..config import config
 from ..ir.core import Block, Operation, Value
 from ..ir.types import Bounds, ScalarType, TempType
 
@@ -166,7 +167,13 @@ def eval_scalar_dag(
             env[op.results[0].uid] = jnp.asarray(op.attrs["value"], dt)
         elif op.name in _BINOPS:
             a, b = (lookup(o) for o in op.operands)
-            env[op.results[0].uid] = _BINOPS[op.name](a, b)
+            r = _BINOPS[op.name](a, b)
+            if op.name == "arith.mul" and config.pinned_arithmetic:
+                # reproducibility fence: keep the product out of any FMA —
+                # contraction placement depends on the local tile shape,
+                # which is what breaks cross-mesh-shape bitwise identity
+                r = jax.lax.optimization_barrier(r)
+            env[op.results[0].uid] = r
         elif op.name in _UNARY:
             env[op.results[0].uid] = _UNARY[op.name](lookup(op.operands[0]))
         elif op.name == "arith.cmp":

@@ -80,6 +80,47 @@ def test_cg_shard_count_invariance(shape, _cache={}):
     assert err / scale < 1e-9, f"mesh {shape}: solution drift {err:.3e}"
 
 
+PINNED_MESHES = [(1,), (8,), (4, 2)]
+
+
+def test_cg_pinned_arithmetic_bitwise_across_meshes():
+    """`config.pinned_arithmetic` makes GSPMD-sharded CG BITWISE identical
+    across mesh shapes — the full BASELINE.md "bit-stable convergence" bar.
+
+    Default arithmetic only reaches ~1e-14 agreement (FMA contraction and
+    reduction tiling are local-shape-dependent); the pinned mode fences
+    every multiply out of FMA reach and reduces dot products through a
+    fixed pairwise tree, so the Krylov trajectory — every iterate, every
+    rounding — is a pure function of the global problem."""
+    from neptune_tpu.config import config
+
+    config.pinned_arithmetic = True
+    try:
+        cm = _poisson_module()
+        b = _rhs()
+        sols = {}
+        for shape in PINNED_MESHES:
+            gm = GridMesh(shape)
+            mv = sharded_opdef(cm, "poisson", gm)
+            b_sh = gm.shard(jnp.asarray(b))
+            x, info = jax.jit(
+                lambda bb, mv=mv: krylov.cg(mv, bb, tol=TOL, maxiter=3000)
+            )(b_sh)
+            assert bool(info.converged), f"mesh {shape}: did not converge"
+            sols[shape] = (np.asarray(x), int(info.iters))
+        x_ref, it_ref = sols[PINNED_MESHES[0]]
+        for shape in PINNED_MESHES[1:]:
+            x_s, it_s = sols[shape]
+            assert it_s == it_ref, f"mesh {shape}: {it_s} != {it_ref}"
+            same = np.array_equal(x_s, x_ref)  # bitwise (no tolerance)
+            assert same, (
+                f"mesh {shape}: pinned solve not bitwise identical; "
+                f"max |diff| = {np.abs(x_s - x_ref).max():.3e}"
+            )
+    finally:
+        config.pinned_arithmetic = False
+
+
 def test_gmres_sharded_agrees_with_single_device():
     """GMRES (the reference's default KSP) through ravel-based reductions
     under sharding — VERDICT r1 flagged this path as CG-only-tested.
