@@ -266,8 +266,11 @@ class NeptuneBuilder(Builder):
     def reduce(self, temp: Value, kind: str, bounds: Optional[Bounds] = None) -> Value:
         """field/temp -> scalar reduction (reference NeptuneIROps.td:272-299;
         the reference implements only "sum", `DataflowLowering.cpp:652-654` —
-        here all of sum/max/min/l1/l2 are supported)."""
+        here all of sum/max/min/l1/l2 are supported). A field operand gets an
+        implicit load, matching the reference op's field signature."""
         _check(kind in REDUCE_KINDS, f"unknown reduce kind {kind!r}")
+        if isinstance(temp.type, FieldType):
+            temp = self.load(temp)
         tt = temp.type
         _check(isinstance(tt, TempType), f"reduce expects temp, got {tt}")
         if bounds is not None:

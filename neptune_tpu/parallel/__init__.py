@@ -6,6 +6,7 @@ from .halo import allreduce_sum, halo_pad_local, sharded_stencil
 from .mesh import GridMesh, single_device_mesh
 from .sharded import sharded_function, sharded_opdef
 from .ca_cg import cg_sharded
+from .ca_gmres import gmres_sharded
 from .ca_multigrid import build_ca_levels, ca_smoother
 from .ca_chebyshev import chebyshev_sharded
 from .sharded_apply import shardmap_opdef, shardmap_sweeps
@@ -15,6 +16,7 @@ __all__ = [
     "ca_smoother",
     "cg_sharded",
     "chebyshev_sharded",
+    "gmres_sharded",
     "shardmap_sweeps",
     "initialize_multihost",
     "allreduce_sum",

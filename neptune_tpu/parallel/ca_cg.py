@@ -61,14 +61,15 @@ from .sharded_apply import (
 )
 
 
-def _basis_matrix(s: int, basis: str, theta, delta, dtype):
+def _basis_matrix(lengths, basis: str, theta, delta, dtype):
     """Change-of-basis matrix B with A·V_j = sum_i B[i,j]·V_i per chain.
 
-    Basis layout: columns 0..s are the p-chain, s+1..2s the r-chain. The
-    top-degree columns (s and 2s) are never applied by the coefficient
-    recurrences (degree bookkeeping keeps coefficients representable), so
-    their columns are zero."""
-    m = 2 * s + 1
+    `lengths` gives the chain lengths laid out consecutively; CA-CG uses
+    (s+1, s) — columns 0..s the p-chain, s+1..2s the r-chain — and CA-GMRES
+    a single (s+1,) chain. The top-degree column of each chain is never
+    applied by the coefficient recurrences (degree bookkeeping keeps
+    coefficients representable), so those columns are zero."""
+    m = sum(lengths)
     B = np.zeros((m, m))
 
     def fill(base, length):
@@ -83,8 +84,10 @@ def _basis_matrix(s: int, basis: str, theta, delta, dtype):
                 if j > 0:
                     B[c - 1, c] = delta / 2.0
 
-    fill(0, s + 1)
-    fill(s + 1, s)
+    base = 0
+    for length in lengths:
+        fill(base, length)
+        base += length
     return jnp.asarray(B, dtype)
 
 
@@ -147,7 +150,7 @@ def cg_sharded(
         delta = 0.5 * (lam_max - lam_min)
     else:
         theta = delta = 0.0
-    Bmat = _basis_matrix(s, basis, theta, delta, dtype)
+    Bmat = _basis_matrix((s + 1, s), basis, theta, delta, dtype)
 
     matvec_block = _block_apply(op, names, scalar_vals)
 

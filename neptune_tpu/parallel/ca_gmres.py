@@ -1,0 +1,259 @@
+"""Communication-avoiding (s-step) restarted GMRES on sharded fields.
+
+GMRES(30) is the reference's *default* KSP
+(`/root/reference/lib/Runtime/PETSc/NeptunePETScRuntime.cpp:146-149`). Its
+distributed cost per iteration is one halo exchange (the matvec) plus O(j)
+dot-product psums (modified Gram–Schmidt against the growing basis) — the
+worst collective profile of all the Krylov methods. This module runs
+restarted GMRES(s) in s-step form: per restart cycle, ONE (s+1)-deep strip
+exchange builds the s+1-vector Krylov basis with the matrix-powers kernel
+(zero-ghost chains + trapezoid band replay — the shared machinery of
+`shardmap_sweeps` / `ca_chebyshev` / `ca_cg`), ONE psum reduces the
+(s+1)² Gram matrix, and the least-squares problem
+
+    min_y || r0 - Ã (V[:, :s] y) ||_2
+
+is then solved entirely in replicated coefficient space: with the
+change-of-basis B (Ã V_j = Σ_i B[i,j] V_i), the residual in basis
+coordinates is c(y) = e0 - B[:, :s] y and ||V c||² = cᵀ G c, so a Cholesky
+factor G = LLᵀ turns the problem into an ordinary (s+1)×s dense LS
+min ||Lᵀc(y)|| (Gram-based QR — the CA-GMRES construction of Mohiyuddin,
+Hoemmen, Demmel & Yelick, with the Gram matrix standing in for TSQR; the
+basis conditioning enters squared, which the Chebyshev basis option keeps
+in check at larger s).
+
+Numerics:
+  * Restart-cycle residual replacement for free: every cycle re-seeds the
+    chain from the TRUE residual r0 = b̃ - Ã x recomputed inside the
+    matrix-powers kernel (x rides the strip exchange), so coefficient-space
+    drift cannot accumulate across cycles — restarted GMRES's natural
+    structure IS the s-step stability fix.
+  * Jacobi preconditioning as a split similarity transform Ã = S A S with
+    S = sqrt(inv_diag) (pointwise; requires a positive diagonal). The
+    minimized norm is ||S(b - A x)||, i.e. split-preconditioned GMRES —
+    equivalent to the `solvers.gmres` oracle run on the transformed
+    operator, not to left-preconditioned GMRES (different norm).
+  * basis="monomial" (fine for s ≲ 6) or "chebyshev" (needs lam_min /
+    lam_max bounding the spectrum's real part; keeps κ(V) — and hence
+    κ(G) = κ(V)² — bounded at larger s).
+
+Communication per s iterations: one exchange of (s+1)·reach-deep strips of
+ONE field (x) + one (s+1)² psum, versus s exchanges + O(s²/2) dot psums for
+per-iteration MGS-GMRES. Matvec count is s+1 per cycle (the extra one
+computes the true-residual seed) — same count as standard restarted GMRES,
+which also spends one matvec per cycle re-seeding.
+
+`maxiter` rounds up to a multiple of s (convergence is tested per cycle,
+like PETSc's per-restart norm checks at KSP_NORM_NONE granularity).
+
+No reference counterpart for the distributed form (the reference is
+single-process, SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+from jax import lax
+from jax import shard_map
+
+from ..ir.types import TempType
+from ..solvers.krylov import SolveInfo
+from .ca_cg import _basis_matrix
+from .mesh import GridMesh
+from .sharded_apply import (
+    _block_apply,
+    _fused_plan,
+    _gstart,
+    _run_band_fixups,
+    _single_apply,
+    _stitch_band,
+    _strip_exchange,
+)
+
+
+def gmres_sharded(
+    cm,
+    name: str,
+    gmesh: GridMesh,
+    *,
+    s: int = 6,
+    maxiter: int = 200,
+    tol: float = 1e-6,
+    inv_diag=None,
+    basis: str = "monomial",
+    lam_min: Optional[float] = None,
+    lam_max: Optional[float] = None,
+) -> Callable:
+    """Build a jittable communication-avoiding restarted GMRES(s) solve for
+    A = @name (any invertible operator — symmetry NOT required).
+
+    Returns solve(b) -> (x, SolveInfo). inv_diag, if given, is the Jacobi
+    preconditioner diagonal (positive, full-field, sharded like b).
+    basis="chebyshev" requires lam_min/lam_max bounding the (real part of
+    the) spectrum of Ã = S A S."""
+    if s < 1:
+        raise ValueError("s must be >= 1")
+    if basis not in ("monomial", "chebyshev"):
+        raise ValueError(f"unknown basis {basis!r}")
+    if basis == "chebyshev" and (lam_min is None or lam_max is None):
+        raise ValueError("basis='chebyshev' needs lam_min and lam_max")
+    fn = cm.module.lookup(name)
+    tt: TempType = fn.ftype.inputs[0]
+    rank = tt.bounds.rank
+    if len(fn.ftype.inputs) != 1 or len(fn.ftype.results) != 1:
+        raise ValueError("gmres_sharded needs a unary, single-result opdef")
+    op = _single_apply(fn)
+    if op is None:
+        raise ValueError("gmres_sharded needs a single-apply opdef body")
+    names = list(gmesh.axis_names[:rank]) + [None] * (
+        rank - len(gmesh.axis_names)
+    )
+    # the chain applies Ã s+1 times from x (1 for the true-residual seed,
+    # s for the basis), so the strips must carry (s+1)-deep reach
+    plan = _fused_plan(fn, op, gmesh, names, tt, sweeps_k=s + 1)
+    if plan is None:
+        raise ValueError(
+            f"@{name} is not eligible at s={s} "
+            "(non-constant scalars, or (s+1)*reach exceeds a shard)"
+        )
+    need, scalar_vals, _ret_index, _arg_order = plan
+    spec = gmesh.pspec(rank)
+
+    out_type: TempType = op.results[0].type
+    outer = out_type.bounds
+    dtype = jnp.dtype(out_type.element)
+    periodic = bool(op.attrs.get("periodic"))
+
+    m = s + 1
+    if basis == "chebyshev":
+        theta = 0.5 * (lam_max + lam_min)
+        delta = 0.5 * (lam_max - lam_min)
+    else:
+        theta = delta = 0.0
+    Bred = _basis_matrix((m,), basis, theta, delta, dtype)[:, :s]  # m×s
+    eye_m = jnp.eye(m, dtype=dtype)
+
+    matvec_block = _block_apply(op, names, scalar_vals)
+
+    def global_fn(b):
+        def local_fn(bl, sl):
+            nloc = bl.shape
+            gstart = _gstart(nloc, rank, names, outer)
+
+            def Amv(v, S_blk, bases, shape):
+                """Ã v = S * A(S * v) (S=None: plain A)."""
+                u = v if S_blk is None else S_blk * v
+                w = matvec_block(u, bases, shape)
+                return w if S_blk is None else S_blk * w
+
+            def chains(x_blk, bt_blk, S_blk, bases, shape):
+                """Matrix-powers kernel on a block: [r, Ãr, .., Ã^s r] with
+                the TRUE residual seed r = b̃ - Ã x."""
+                r0 = bt_blk - Amv(x_blk, S_blk, bases, shape)
+                vs = [r0]
+                for j in range(s):
+                    Av = Amv(vs[-1], S_blk, bases, shape)
+                    if basis == "monomial":
+                        vs.append(Av)
+                    elif j == 0:
+                        vs.append((Av - theta * vs[-1]) / delta)
+                    else:
+                        vs.append(2.0 * (Av - theta * vs[-1]) / delta - vs[-2])
+                return vs
+
+            # ---- constants: b̃ = S b and S strips (iteration-constant,
+            # exchanged ONCE outside the while loop) ----
+            S_loc = None if sl is None else jnp.sqrt(sl.astype(dtype))
+            btl = bl.astype(dtype) if S_loc is None else S_loc * bl
+            need_k = [((s + 1) * lo, (s + 1) * hi) for lo, hi in need]
+            cfields = [btl] if S_loc is None else [btl, S_loc]
+            c_strips, c_ext, _ = _strip_exchange(
+                cfields, nloc, rank, names, need_k, periodic
+            )
+
+            def gsum(v):
+                for nm in names[:rank]:
+                    if nm:
+                        v = lax.psum(v, nm)
+                return v
+
+            b2 = gsum(jnp.sum(btl * btl))
+            target2 = jnp.asarray(tol * tol, dtype) * b2
+
+            def outer_body(carry):
+                x, rr, it = carry
+                # ---- one exchange: (s+1)-deep strips of x ----
+                strips, ext_slice, sharded_dims = _strip_exchange(
+                    [x], nloc, rank, names, need_k, periodic
+                )
+                V = chains(x, btl, S_loc, gstart, nloc)
+
+                def replay(bands, zone):
+                    bx = bands[0].astype(dtype)
+                    bbt = _stitch_band(
+                        c_ext, c_strips, 0, zone.d, zone.side, zone.lo_n,
+                        zone.hi_n, nloc,
+                    ).astype(dtype)
+                    bS = (
+                        _stitch_band(
+                            c_ext, c_strips, 1, zone.d, zone.side,
+                            zone.lo_n, zone.hi_n, nloc,
+                        ).astype(dtype)
+                        if S_loc is not None
+                        else None
+                    )
+                    return chains(bx, bbt, bS, zone.bases, bx.shape)
+
+                V = _run_band_fixups(
+                    V, 1, strips, ext_slice, sharded_dims, need_k, nloc,
+                    rank, gstart, replay,
+                )
+
+                # ---- one psum: the Gram matrix ----
+                Vs = jnp.stack([v.reshape(-1) for v in V])
+                G = gsum(Vs @ Vs.T)
+
+                # ---- replicated LS: min_y (e0 - Bred y)ᵀ G (e0 - Bred y)
+                # via G = LLᵀ -> ordinary LS min ||Lᵀ(e0 - Bred y)|| ----
+                jit_eps = jnp.finfo(dtype).eps * (jnp.trace(G) / m)
+                L = jnp.linalg.cholesky(G + jit_eps * eye_m)
+                A_ls = L.T @ Bred  # m×s
+                b_ls = L[0, :]  # = Lᵀ e0
+                y = jnp.linalg.lstsq(A_ls, b_ls)[0]
+                c = eye_m[:, 0] - Bred @ y
+                rr_new = jnp.maximum(jnp.dot(c, G @ c), 0.0)
+
+                # ---- recover x (local, no comm) ----
+                x = x + jnp.tensordot(y, jnp.stack(V[:s]), axes=1)
+                return x, rr_new, it + s
+
+            def cond(carry):
+                _x, rr, it = carry
+                return (it < maxiter) & (rr > target2)
+
+            x0 = jnp.zeros(nloc, dtype)
+            x, rr, it = lax.while_loop(cond, outer_body, (x0, b2, jnp.int32(0)))
+            # un-transform: x = S y
+            if S_loc is not None:
+                x = S_loc * x
+            return x, rr, it, target2
+
+        has_id = inv_diag is not None
+        idl = inv_diag if has_id else jnp.zeros(())
+        x, rr, it, target2 = shard_map(
+            lambda bb, ii: local_fn(bb, ii if has_id else None),
+            mesh=gmesh.mesh,
+            in_specs=(spec, spec if has_id else gmesh.pspec(0)),
+            out_specs=(spec,) + (gmesh.pspec(0),) * 3,
+            check_vma=False,
+        )(b, idl)
+        info = SolveInfo(
+            iters=it,
+            resnorm=jnp.sqrt(rr),
+            converged=rr <= target2,
+        )
+        return x, info
+
+    return global_fn

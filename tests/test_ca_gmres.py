@@ -1,0 +1,202 @@
+"""s-step (communication-avoiding) restarted GMRES on the 8-device mesh.
+
+VERDICT r2 item #1, second half: the reference's DEFAULT KSP is GMRES
+(`NeptunePETScRuntime.cpp:146-149`); CA-GMRES runs each restart cycle on one
+exchange + one Gram psum. The per-cycle oracle is `solvers.gmres` with
+restart=s over a `shardmap_opdef` matvec (same subspace, same LS problem:
+iterates after every full cycle agree to fp roundoff)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import neptune_tpu as ntp
+from neptune_tpu.parallel import GridMesh, gmres_sharded, shardmap_opdef
+from neptune_tpu.solvers import gmres
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.fixture(autouse=True)
+def fresh():
+    ntp.reset_context()
+    yield
+    ntp.reset_context()
+
+
+def make_advdiff(n=64, c=0.3):
+    """Nonsymmetric: 5-pt Laplacian + upwind advection in dim 0 — the
+    operator class CG cannot take and GMRES exists for."""
+
+    @ntp.linear_op_def(
+        bounds=([0, 0], [n, n]), interior=([1, 1], [n - 1, n - 1])
+    )
+    def advdiff(u):
+        return (
+            (4.0 + c) * u[0, 0]
+            - (1.0 + c) * u[-1, 0]
+            - u[1, 0]
+            - u[0, -1]
+            - u[0, 1]
+        )
+
+    return ntp.get_context().compiled()
+
+
+def advdiff_np(x, c=0.3):
+    out = np.zeros_like(x)
+    out[1:-1, 1:-1] = (
+        (4.0 + c) * x[1:-1, 1:-1]
+        - (1.0 + c) * x[:-2, 1:-1]
+        - x[2:, 1:-1]
+        - x[1:-1, :-2]
+        - x[1:-1, 2:]
+    )
+    out[0, :] = x[0, :]
+    out[-1, :] = x[-1, :]
+    out[:, 0] = x[:, 0]
+    out[:, -1] = x[:, -1]
+    return out
+
+
+def rhs_2d(n, seed=0):
+    b = np.zeros((n, n))
+    b[1:-1, 1:-1] = np.random.default_rng(seed).standard_normal((n - 2, n - 2))
+    return b
+
+
+class TestCAGMRES:
+    def test_matches_restarted_gmres_per_cycle(self):
+        # same Krylov subspace + same LS per cycle -> identical iterates
+        # after every full restart (exact arithmetic); f64 keeps them
+        # together to roundoff
+        n = 64
+        cm = make_advdiff(n)
+        gm = GridMesh((2, 2), ("x", "y"), devices=jax.devices()[:4])
+        b = rhs_2d(n)
+        solve = jax.jit(
+            gmres_sharded(cm, "advdiff", gm, s=4, maxiter=40, tol=0.0)
+        )
+        x_ca, info = solve(gm.shard(jnp.asarray(b)))
+        assert int(info.iters) == 40
+        mv = shardmap_opdef(cm, "advdiff", gm)
+        x_pi, _ = gmres(mv, jnp.asarray(b), tol=0.0, maxiter=40, restart=4)
+        err = np.abs(np.asarray(x_ca) - np.asarray(x_pi)).max()
+        scale = np.abs(np.asarray(x_pi)).max()
+        assert err < 1e-9 * max(scale, 1.0), err
+
+    def test_converges_with_true_residual(self):
+        n = 64
+        cm = make_advdiff(n)
+        gm = GridMesh((4, 2), ("x", "y"))
+        b = rhs_2d(n, seed=1)
+        solve = jax.jit(
+            gmres_sharded(cm, "advdiff", gm, s=6, maxiter=6000, tol=1e-9)
+        )
+        x, info = solve(gm.shard(jnp.asarray(b)))
+        assert bool(info.converged)
+        x = np.asarray(x)
+        r = b - advdiff_np(x)
+        rn = np.linalg.norm(r)
+        assert rn <= 1e-8 * np.linalg.norm(b)
+        # reported (coefficient-space) residual agrees with the true one
+        assert abs(rn - float(info.resnorm)) <= 1e-6 * max(rn, 1e-30)
+
+    def test_jacobi_split_preconditioning(self):
+        # split-preconditioned CA-GMRES == oracle GMRES run on Ã = S A S
+        # with rhs S b (same minimized norm), restart=s
+        n = 64
+        c = 0.3
+        cm = make_advdiff(n, c)
+        gm = GridMesh((2, 2), ("x", "y"), devices=jax.devices()[:4])
+        b = rhs_2d(n, seed=2)
+        idiag = np.full((n, n), 1.0 / (4.0 + c))
+        idiag[0, :] = idiag[-1, :] = idiag[:, 0] = idiag[:, -1] = 1.0
+        solve = jax.jit(
+            gmres_sharded(
+                cm, "advdiff", gm, s=4, maxiter=24, tol=0.0,
+                inv_diag=jnp.asarray(idiag),
+            )
+        )
+        x_ca, _ = solve(gm.shard(jnp.asarray(b)))
+        mv = shardmap_opdef(cm, "advdiff", gm)
+        S = jnp.sqrt(jnp.asarray(idiag))
+        mv_t = lambda v: S * mv(S * v)
+        y, _ = gmres(mv_t, S * jnp.asarray(b), tol=0.0, maxiter=24, restart=4)
+        x_pi = np.asarray(S * y)
+        err = np.abs(np.asarray(x_ca) - x_pi).max()
+        assert err < 1e-9, err
+
+    def test_chebyshev_basis_larger_s(self):
+        # s=8 monomial basis of a Laplacian-like spectrum is ill-conditioned
+        # (kappa(G) ~ kappa(V)^2); the Chebyshev basis must still track the
+        # oracle per cycle
+        n = 64
+        cm = make_advdiff(n)
+        gm = GridMesh((2, 2), ("x", "y"), devices=jax.devices()[:4])
+        b = rhs_2d(n, seed=3)
+        x_c, _ = jax.jit(
+            gmres_sharded(
+                cm, "advdiff", gm, s=8, maxiter=32, tol=0.0,
+                basis="chebyshev", lam_min=0.05, lam_max=8.5,
+            )
+        )(gm.shard(jnp.asarray(b)))
+        mv = shardmap_opdef(cm, "advdiff", gm)
+        x_pi, _ = gmres(mv, jnp.asarray(b), tol=0.0, maxiter=32, restart=8)
+        err = np.abs(np.asarray(x_c) - np.asarray(x_pi)).max()
+        scale = np.abs(np.asarray(x_pi)).max()
+        assert err < 1e-8 * max(scale, 1.0), err
+
+    def test_rank1(self):
+        n = 128
+
+        @ntp.linear_op_def(bounds=([0], [n]), interior=([1], [n - 1]))
+        def adv1d(u):
+            return 2.5 * u[0] - 1.5 * u[-1] - u[1]
+
+        cm = ntp.get_context().compiled()
+        gm = GridMesh((4,), ("x",), devices=jax.devices()[:4])
+        b = np.zeros(n)
+        b[1:-1] = np.random.default_rng(4).standard_normal(n - 2)
+        solve = jax.jit(
+            gmres_sharded(cm, "adv1d", gm, s=3, maxiter=36, tol=0.0)
+        )
+        x_ca, _ = solve(gm.shard(jnp.asarray(b)))
+        mv = shardmap_opdef(cm, "adv1d", gm)
+        x_pi, _ = gmres(mv, jnp.asarray(b), tol=0.0, maxiter=36, restart=3)
+        assert np.abs(np.asarray(x_ca) - np.asarray(x_pi)).max() < 1e-9
+
+    def test_communication_structure(self):
+        # one strip-exchange round (1 field) + ONE Gram psum per restart
+        # cycle vs s exchanges + O(s^2) dot psums for MGS-GMRES
+        n = 64
+        cm = make_advdiff(n)
+        gm = GridMesh((4, 2), ("x", "y"))
+        bs = gm.shard(jnp.zeros((n, n)))
+
+        def counts(fn, *args):
+            txt = str(jax.make_jaxpr(fn)(*args))
+            return txt.count("ppermute"), txt.count("psum")
+
+        ca = gmres_sharded(cm, "advdiff", gm, s=7, maxiter=98)
+        pp_ca, ps_ca = counts(ca, bs)
+        # CA body: 1 field x 4 strips per cycle + one 1-field constant
+        # exchange outside the loop
+        assert pp_ca <= 1 * 4 + 1 * 4, pp_ca
+        # ONE Gram psum (2 mesh axes -> 2 psum calls) per cycle + the
+        # one-off ||b||
+        assert ps_ca <= 2 + 2, ps_ca
+
+    def test_eligibility_errors(self):
+        n = 64
+        cm = make_advdiff(n)
+        gm = GridMesh((4, 2), ("x", "y"))
+        with pytest.raises(ValueError, match="not eligible"):
+            gmres_sharded(cm, "advdiff", gm, s=16)  # 17*reach > 16-row shard
+        with pytest.raises(ValueError, match="basis"):
+            gmres_sharded(cm, "advdiff", gm, basis="newton")
+        with pytest.raises(ValueError, match="lam_min"):
+            gmres_sharded(cm, "advdiff", gm, basis="chebyshev")

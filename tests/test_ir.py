@@ -121,6 +121,21 @@ class TestOpContracts:
             b.start_apply([fn.body.args[0]], Bounds.of([0], [8]))
         b.pop_block()
 
+    def test_reduce_accepts_field_directly(self):
+        # reference `neptune_ir.reduce` takes a FIELD (NeptuneIROps.td:272-299);
+        # the builder inserts the implicit load (VERDICT r2 parity nit #5)
+        b = NeptuneBuilder()
+        bounds = Bounds.of([0], [8])
+        ft = FieldType("float64", bounds)
+        entry = b.make_function("entry", "func", [ft], [])
+        b.push_block(entry.body)
+        r = b.reduce(entry.body.args[0], "sum")
+        assert str(r.type) == "f64"
+        ops = [op.name for op in entry.body.ops]
+        assert ops == ["neptune.load", "neptune.reduce"]
+        b.return_([])
+        b.pop_block()
+
     def test_unresolved_symbol(self):
         b = NeptuneBuilder()
         bounds = Bounds.of([0], [4])
