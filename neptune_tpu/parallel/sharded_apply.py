@@ -23,10 +23,36 @@ from jax import lax
 from jax import shard_map
 
 from ..ir.core import Module, Operation
-from ..ir.types import Bounds, TempType
+from ..ir.types import Bounds, ScalarType, TempType
 from ..lowering import jnp_backend
 from .halo import halo_pad_local
 from .mesh import GridMesh
+
+
+class _ScalarArg(NamedTuple):
+    """Marker in a plan's scalar_vals: the scalar comes from opdef arg
+    `index` at call time (replicated), not from a body constant."""
+
+    index: int
+
+
+def _resolve_scalars(scalar_vals, locs):
+    """Replace _ScalarArg markers with the caller-supplied local values."""
+    return [
+        locs[sv.index] if isinstance(sv, _ScalarArg) else sv
+        for sv in scalar_vals
+    ]
+
+
+def _scalar_args_trailing(fn):
+    """Indices where field args end and ScalarType args begin, or None if
+    the signature interleaves them (every sharded path requires fields
+    first, scalars trailing — the reference's `fn(x, *scalars)` shape)."""
+    kinds = [isinstance(t, ScalarType) for t in fn.ftype.inputs]
+    n_fields = kinds.index(True) if any(kinds) else len(kinds)
+    if any(not k for k in kinds[n_fields:]) or n_fields == 0:
+        return None
+    return n_fields
 
 def _eval_apply_local(
     op: Operation,
@@ -331,9 +357,14 @@ def _fused_plan(fn, op, gmesh, names, tt, sweeps_k: int = 1):
             )
     scalar_vals = []
     for o in op.operands[n_in:]:
-        if o.uid not in const_env:
+        if o.uid in const_env:
+            scalar_vals.append(const_env[o.uid])
+        elif o.uid in arg_uids and isinstance(o.type, ScalarType):
+            # trailing scalar opdef arg: resolved from the call at runtime
+            # (replicated); callers run _resolve_scalars over their locs
+            scalar_vals.append(_ScalarArg(arg_uids[o.uid]))
+        else:
             return None
-        scalar_vals.append(const_env[o.uid])
 
     sshape = op.attrs.get("shape")
     offs = list(sshape.offsets) if sshape and sshape.offsets else [(0,) * rank]
@@ -633,6 +664,7 @@ def _shardmap_fused(cm, fn, op, gmesh, names, spec, tt, plan) -> Callable:
     def global_fn(*arrays):
         def local_fn(*locs):
             inputs_loc = [locs[i] for i in arg_order]
+            scalars_rt = _resolve_scalars(scalar_vals, locs)
             nloc = inputs_loc[0].shape
             gstart = []
             for d in range(rank):
@@ -675,7 +707,7 @@ def _shardmap_fused(cm, fn, op, gmesh, names, spec, tt, plan) -> Callable:
                 res = pallas_backend.execute_apply_window(
                     op,
                     [jnp.asarray(a, dtype) for a in inputs_loc],
-                    scalar_vals,
+                    scalars_rt,
                     nloc,
                     gstart,
                     interpret=config.pallas_interpret,
@@ -689,7 +721,7 @@ def _shardmap_fused(cm, fn, op, gmesh, names, spec, tt, plan) -> Callable:
                     )
 
                 ys = jnp_backend.eval_scalar_dag(
-                    op.region(0), rank, n_in, access_fn, index_fn, scalar_vals
+                    op.region(0), rank, n_in, access_fn, index_fn, scalars_rt
                 )
                 outs = []
                 for j, y in enumerate(ys):
@@ -746,7 +778,7 @@ def _shardmap_fused(cm, fn, op, gmesh, names, spec, tt, plan) -> Callable:
                     return iv + base
 
                 bys = jnp_backend.eval_scalar_dag(
-                    op.region(0), rank, n_in, b_access, b_index, scalar_vals
+                    op.region(0), rank, n_in, b_access, b_index, scalars_rt
                 )
                 res = []
                 for j, y in enumerate(bys):
@@ -776,10 +808,14 @@ def _shardmap_fused(cm, fn, op, gmesh, names, spec, tt, plan) -> Callable:
             return vals[0] if len(vals) == 1 else tuple(vals)
 
         n_out = len(fn.ftype.results)
+        in_specs = tuple(
+            gmesh.pspec(0) if isinstance(t, ScalarType) else spec
+            for t in fn.ftype.inputs
+        )
         return shard_map(
             local_fn,
             mesh=gmesh.mesh,
-            in_specs=(spec,) * n_args,
+            in_specs=in_specs,
             out_specs=(spec,) * n_out if n_out > 1 else spec,
             check_vma=False,
         )(*arrays)
@@ -790,10 +826,14 @@ def _shardmap_fused(cm, fn, op, gmesh, names, spec, tt, plan) -> Callable:
 
 def _composite_fused_ok(cm, fn, gmesh, names, tt, halo) -> bool:
     """Eligibility of a composite (multi-stage) opdef for the fused
-    strip-exchange path: every arg a field of the same bounds, uniform
-    non-periodic applies, composed reach fitting one shard."""
+    strip-exchange path: every field arg of the same bounds (trailing
+    scalar args allowed — replicated), uniform non-periodic applies,
+    composed reach fitting one shard."""
     rank = tt.bounds.rank
-    for t in fn.ftype.inputs:
+    n_fields = _scalar_args_trailing(fn)
+    if n_fields is None:
+        return False
+    for t in fn.ftype.inputs[:n_fields]:
         b = getattr(t, "bounds", None)
         if b is None or b.shape != tt.bounds.shape:
             return False
@@ -826,15 +866,25 @@ def _shardmap_fused_composite(
     sweep = the whole operator body". This avoids materializing the
     ghost-extended block (a fusion barrier that tripled HBM traffic; see
     docs/PERFORMANCE.md).
+
+    Main-chain kernels: on TPU each stage apply routes through the
+    slab-blocked Pallas window kernel when supported (same preference as
+    the single-apply fused path — shard_map's jnp lowering cannot keep the
+    chain's working set VMEM-resident; each stage's window wrap/clamp edge
+    garbage lands inside the composed-reach zone the bands recompute).
+    The thin band replays stay jnp. Trailing scalar opdef args are
+    replicated and flow through both chain evaluations.
     """
     rank = tt.bounds.rank
     n_args = len(fn.ftype.inputs)
+    n_fields = _scalar_args_trailing(fn)
     n_out = len(fn.ftype.results)
     outer = tt.bounds
 
     def global_fn(*arrays):
         def local_fn(*locs):
-            nloc = locs[0].shape
+            flocs, slocs = list(locs[:n_fields]), list(locs[n_fields:])
+            nloc = flocs[0].shape
             gstart = []
             for d in range(rank):
                 nm = names[d]
@@ -843,33 +893,46 @@ def _shardmap_fused_composite(
                     jnp.asarray(base, jnp.int32) + jnp.int32(outer.lb[d])
                 )
 
-            # main: the whole chain, zero-ghost, on the cores
+            # main: the whole chain, zero-ghost, on the cores — per-stage
+            # Pallas window kernels on TPU (jnp fallback per stage)
+            from ..config import config
+            from ..lowering import pallas_backend
+
+            main_backend = (
+                "pallas"
+                if pallas_backend._on_tpu() or config.pallas_interpret
+                else "jnp"
+            )
             out = _eval_opdef_local(
-                cm.module, fn.name, list(locs), nloc, gstart, "jnp"
+                cm.module, fn.name, list(locs), nloc, gstart, main_backend
             )
             outs = list(out) if isinstance(out, tuple) else [out]
 
             strips, ext_slice, sharded_dims = _strip_exchange(
-                list(locs), nloc, rank, names, halo, False
+                flocs, nloc, rank, names, halo, False
             )
 
             def replay(band_args, zone):
                 bout = _eval_opdef_local(
-                    cm.module, fn.name, band_args, band_args[0].shape,
-                    list(zone.bases), "jnp",
+                    cm.module, fn.name, band_args + slocs,
+                    band_args[0].shape, list(zone.bases), "jnp",
                 )
                 return list(bout) if isinstance(bout, tuple) else [bout]
 
             outs = _run_band_fixups(
-                outs, n_args, strips, ext_slice, sharded_dims, halo, nloc,
+                outs, n_fields, strips, ext_slice, sharded_dims, halo, nloc,
                 rank, gstart, replay,
             )
             return outs[0] if len(outs) == 1 else tuple(outs)
 
+        in_specs = tuple(
+            gmesh.pspec(0) if isinstance(t, ScalarType) else spec
+            for t in fn.ftype.inputs
+        )
         return shard_map(
             local_fn,
             mesh=gmesh.mesh,
-            in_specs=(spec,) * n_args,
+            in_specs=in_specs,
             out_specs=(spec,) * n_out if n_out > 1 else spec,
             check_vma=False,
         )(*arrays)
@@ -898,6 +961,12 @@ def shardmap_opdef(
         raise ValueError(
             f"@{name} has no halo annotation; compile the module through the "
             "pipeline (verify_and_annotate) first"
+        )
+    n_fields = _scalar_args_trailing(fn)
+    if n_fields is None:
+        raise ValueError(
+            f"@{name}: sharded execution requires field args first and "
+            "scalar args trailing (fn(x, ..., *scalars))"
         )
     tt: TempType = fn.ftype.inputs[0]
     rank = tt.bounds.rank
@@ -931,8 +1000,8 @@ def shardmap_opdef(
             local_shape = locs[0].shape
             exts = [
                 halo_pad_local(x, halo, names, periodic=periodic)
-                for x in locs
-            ]
+                for x in locs[:n_fields]
+            ] + list(locs[n_fields:])
             ext_shape = exts[0].shape
             start = []
             for d in range(rank):
@@ -956,10 +1025,14 @@ def shardmap_opdef(
             )
 
         n_out = len(fn.ftype.results)
+        in_specs = tuple(
+            gmesh.pspec(0) if isinstance(t, ScalarType) else spec
+            for t in fn.ftype.inputs
+        )
         return shard_map(
             local_fn,
             mesh=gmesh.mesh,
-            in_specs=(spec,) * n_args,
+            in_specs=in_specs,
             out_specs=(spec,) * n_out if n_out > 1 else spec,
             check_vma=False,
         )(*arrays)
@@ -1014,8 +1087,11 @@ def shardmap_sweeps(
         )
     tt: TempType = fn.ftype.inputs[0]
     rank = tt.bounds.rank
-    if len(fn.ftype.inputs) != 1 or len(fn.ftype.results) != 1:
-        raise ValueError("shardmap_sweeps requires a unary, single-result opdef")
+    if _scalar_args_trailing(fn) != 1 or len(fn.ftype.results) != 1:
+        raise ValueError(
+            "shardmap_sweeps requires a single-result opdef with one field "
+            "arg (trailing scalar args allowed)"
+        )
     op = _single_apply(fn)
     if op is None:
         raise ValueError(
@@ -1045,8 +1121,9 @@ def shardmap_sweeps(
     # the mesh edge, giving torus ghosts for free)
     wrap = tuple(periodic and not names[d] for d in range(rank))
 
-    def global_fn(x):
-        def local_fn(xl):
+    def global_fn(x, *scal):
+        def local_fn(xl, *sl):
+            scalars_rt = _resolve_scalars(scalar_vals, [xl, *sl])
             nloc = xl.shape
             gstart = []
             for d in range(rank):
@@ -1071,7 +1148,7 @@ def shardmap_sweeps(
                     return iv + bases[d]
 
                 ys = jnp_backend.eval_scalar_dag(
-                    op.region(0), rank, 1, access_fn, index_fn, scalar_vals
+                    op.region(0), rank, 1, access_fn, index_fn, scalars_rt
                 )
                 y = jnp.broadcast_to(jnp.asarray(ys[0], dtype), shape)
                 if not full_domain:
@@ -1100,7 +1177,7 @@ def shardmap_sweeps(
                     y = pallas_multisweep.execute_sweeps_window_local(
                         op,
                         jnp.asarray(xl, dtype),
-                        scalar_vals,
+                        scalars_rt,
                         k,
                         gstart,
                         interpret=config.pallas_interpret,
@@ -1111,7 +1188,7 @@ def shardmap_sweeps(
                         y = pallas_backend.execute_apply_window(
                             op,
                             [y],
-                            scalar_vals,
+                            scalars_rt,
                             nloc,
                             gstart,
                             interpret=config.pallas_interpret,
@@ -1140,12 +1217,13 @@ def shardmap_sweeps(
             )
             return y
 
+        n_scal = len(fn.ftype.inputs) - 1
         return shard_map(
             local_fn,
             mesh=gmesh.mesh,
-            in_specs=(spec,),
+            in_specs=(spec,) + (gmesh.pspec(0),) * n_scal,
             out_specs=spec,
             check_vma=False,
-        )(x)
+        )(x, *scal)
 
     return global_fn
