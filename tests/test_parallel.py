@@ -838,6 +838,52 @@ def test_ca_chebyshev_early_stop():
     assert np.linalg.norm(res) <= 1e-8 * np.linalg.norm(b) * 2
 
 
+def test_ca_chebyshev_check_reports_true_residual():
+    """The check path rebases the recurrence on the true b - A·x at every
+    check boundary (one extra exchanged matvec), so at f32 over thousands
+    of iterations the reported resnorm is the honest one — mirrors
+    tests/test_chebyshev.py::TestResidualReplacement for the sharded CA
+    loop, where the rebase matvec needs its own strip exchange."""
+    from neptune_tpu.parallel import chebyshev_sharded
+
+    n = 128
+
+    @ntp.linear_op_def(
+        bounds=([0, 0], [n, n]), interior=([1, 1], [n - 1, n - 1]),
+        dtype="float32",
+    )
+    def lap2d_f32(u):
+        return 4.0 * u[0, 0] - u[-1, 0] - u[1, 0] - u[0, -1] - u[0, 1]
+
+    cm = ntp.get_context().compiled()
+    gm = GridMesh((4, 2), ("x", "y"))
+    rng = np.random.default_rng(7)
+    b = np.zeros((n, n), np.float32)
+    b[1:-1, 1:-1] = rng.standard_normal((n - 2, n - 2)).astype(np.float32)
+    lam_min = float(4 - 4 * np.cos(np.pi / (n - 1)))
+    x, info = jax.jit(
+        chebyshev_sharded(
+            cm, "lap2d_f32", gm, lam_min=lam_min, lam_max=8.0,
+            k_fuse=8, maxiter=6000, tol=4e-5, check_every=12,
+        )
+    )(gm.shard(jnp.asarray(b)))
+    xx = np.asarray(x, np.float64)
+    Ax = np.zeros_like(xx)
+    Ax[1:-1, 1:-1] = (
+        4 * xx[1:-1, 1:-1] - xx[:-2, 1:-1] - xx[2:, 1:-1]
+        - xx[1:-1, :-2] - xx[1:-1, 2:]
+    )
+    Ax[0, :] = xx[0, :]
+    Ax[-1, :] = xx[-1, :]
+    Ax[1:-1, 0] = xx[1:-1, 0]
+    Ax[1:-1, -1] = xx[1:-1, -1]
+    true = float(np.linalg.norm(b - Ax))
+    bn = float(np.linalg.norm(b))
+    assert bool(info.converged)
+    assert abs(float(info.resnorm) - true) / true < 0.05
+    assert true / bn <= 4e-5 * 1.05
+
+
 class TestCAMultigrid:
     """Communication-avoiding V-cycle smoothing: each level's pre/post
     smoothers run k fused Chebyshev iterations per 1-2 halo exchange
