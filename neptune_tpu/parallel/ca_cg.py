@@ -208,7 +208,7 @@ def cg_sharded(
             target2 = jnp.asarray(tol * tol, dtype) * b2
 
             def outer_body(carry):
-                x, p, rr, it = carry
+                x, p, rr, it, stall = carry
                 # ---- one exchange: s-deep strips of (x, p) ----
                 strips, ext_slice, sharded_dims = _strip_exchange(
                     [x, p], nloc, rank, names, need_k, periodic
@@ -242,45 +242,110 @@ def cg_sharded(
                 Vs = jnp.stack([v.reshape(-1) for v in V])
                 G = gsum(Vs @ Vs.T)
 
+                # The block-seed residual norm ||r0||² = G[r,r] is a direct
+                # sum of squares of the TRUE residual field — trustworthy.
+                # The IN-block updates below estimate norms as Gram
+                # quadratic forms of coefficient differences, which bottom
+                # out at ~sqrt(eps)·||b̃||² and can round NEGATIVE once the
+                # block spans convergence (a degenerate Krylov basis). So:
+                # convergence is decided on the seed norm, the in-block
+                # estimates only gate the s inner iterations (guarded
+                # against pAp <= 0 / rr < 0 breakdown), and breakdown
+                # restarts p from the residual (conjugacy is lost anyway).
+                rr_seed = G[s + 1, s + 1]
+                block_on = rr_seed > target2
+
                 # ---- s CG iterations in replicated coefficient space ----
                 x_c = jnp.zeros((m,), dtype)
                 r_c = jnp.zeros((m,), dtype).at[s + 1].set(1.0)
                 p_c = jnp.zeros((m,), dtype).at[0].set(1.0)
-                # seed rr from the true residual (replacement): ||r||² = G[r,r]
-                rr_j = G[s + 1, s + 1]
+                rr_j = rr_seed
                 it_j = it
+                brk = jnp.logical_not(block_on)
                 for _ in range(s):
-                    active = (rr_j > target2) & (it_j < maxiter)
+                    active = (
+                        jnp.logical_not(brk)
+                        & (rr_j > target2)
+                        & (it_j < maxiter)
+                    )
                     w_c = Bmat @ p_c
                     Gp = G @ w_c
                     pAp = jnp.sum(p_c * Gp)
+                    ok = active & (pAp > 0)
                     alpha = jnp.where(
-                        active, rr_j / jnp.where(pAp == 0, 1.0, pAp), 0.0
+                        ok, rr_j / jnp.where(pAp == 0, 1.0, pAp), 0.0
                     )
                     x_c = x_c + alpha * p_c
                     r_c = r_c - alpha * w_c
                     rr_new = jnp.sum(r_c * (G @ r_c))
+                    good = ok & (rr_new >= 0)
+                    brk = brk | (active & jnp.logical_not(good))
                     beta = jnp.where(
-                        active, rr_new / jnp.where(rr_j == 0, 1.0, rr_j), 0.0
+                        good, rr_new / jnp.where(rr_j == 0, 1.0, rr_j), 0.0
                     )
-                    p_c = jnp.where(active, r_c + beta * p_c, p_c)
-                    rr_j = jnp.where(active, rr_new, rr_j)
-                    it_j = it_j + active.astype(jnp.int32)
+                    p_c = jnp.where(good, r_c + beta * p_c, p_c)
+                    rr_j = jnp.where(good, rr_new, rr_j)
+                    it_j = it_j + ok.astype(jnp.int32)
+
+                # breakdown restart: next block's search direction = residual
+                p_c = jnp.where(brk & block_on, r_c, p_c)
 
                 # ---- recover x, p from the basis (local, no comm) ----
                 Vstack = jnp.stack(V)
                 x = x + jnp.tensordot(x_c, Vstack, axes=1)
                 p = jnp.tensordot(p_c, Vstack, axes=1)
-                return x, p, rr_j, it_j
+                made_progress = it_j > it
+                stall = jnp.where(
+                    block_on & jnp.logical_not(made_progress), stall + 1,
+                    jnp.int32(0),
+                )
+                rr_out = jnp.where(block_on, jnp.maximum(rr_j, 0.0), rr_seed)
+                return x, p, rr_out, it_j, stall
 
             def cond(carry):
-                _x, _p, rr, it = carry
-                return (it < maxiter) & (rr > target2)
+                _x, _p, rr, it, stall = carry
+                # two consecutive zero-progress blocks = the coefficient
+                # space is numerically exhausted; stop and report honestly
+                return (it < maxiter) & (rr > target2) & (stall < 2)
 
             x0 = jnp.zeros(nloc, dtype)
-            x, p, rr, it = lax.while_loop(
-                cond, outer_body, (x0, btl, b2, jnp.int32(0))
+            x, p, rr, it, _stall = lax.while_loop(
+                cond, outer_body,
+                (x0, btl, b2, jnp.int32(0), jnp.int32(0)),
             )
+
+            # ---- honest final report: ONE extra exchanged matvec gives the
+            # true preconditioned residual of the returned x (the in-block
+            # Gram estimates cannot resolve below ~sqrt(eps)) ----
+            def true_rr(xf):
+                ts, te, td = _strip_exchange(
+                    [xf], nloc, rank, names, need_k, periodic
+                )
+                r_main = btl - Amv(xf, S_loc, gstart, nloc)
+
+                def rreplay(bands, zone):
+                    (bx,) = (bb.astype(dtype) for bb in bands)
+                    bbt = _stitch_band(
+                        c_ext, c_strips, 0, zone.d, zone.side, zone.lo_n,
+                        zone.hi_n, nloc,
+                    ).astype(dtype)
+                    bS = (
+                        _stitch_band(
+                            c_ext, c_strips, 1, zone.d, zone.side,
+                            zone.lo_n, zone.hi_n, nloc,
+                        ).astype(dtype)
+                        if S_loc is not None
+                        else None
+                    )
+                    return [bbt - Amv(bx, bS, zone.bases, bx.shape)]
+
+                (rf,) = _run_band_fixups(
+                    [r_main], 1, ts, te, td, need_k, nloc, rank, gstart,
+                    rreplay,
+                )
+                return gsum(jnp.sum(rf * rf))
+
+            rr = true_rr(x)
             # un-transform: x = S y
             if S_loc is not None:
                 x = S_loc * x

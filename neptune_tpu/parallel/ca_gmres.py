@@ -133,7 +133,6 @@ def gmres_sharded(
     else:
         theta = delta = 0.0
     Bred = _basis_matrix((m,), basis, theta, delta, dtype)[:, :s]  # m×s
-    eye_m = jnp.eye(m, dtype=dtype)
 
     matvec_block = _block_apply(op, names, scalar_vals)
 
@@ -183,7 +182,7 @@ def gmres_sharded(
             target2 = jnp.asarray(tol * tol, dtype) * b2
 
             def outer_body(carry):
-                x, rr, it = carry
+                x, rr_prev, it, done, stall = carry
                 # ---- one exchange: (s+1)-deep strips of x ----
                 strips, ext_slice, sharded_dims = _strip_exchange(
                     [x], nloc, rank, names, need_k, periodic
@@ -215,26 +214,82 @@ def gmres_sharded(
                 Vs = jnp.stack([v.reshape(-1) for v in V])
                 G = gsum(Vs @ Vs.T)
 
+                # Convergence is decided on the CYCLE SEED norm ||r0||² =
+                # G[0,0] — a direct sum of squares of the true residual
+                # field. The LS objective value c·G·c is a coefficient-
+                # space quadratic form that bottoms out at ~sqrt(eps)·||b̃||²
+                # (and can round to 0 well before tol is truly met), so it
+                # is NOT used for control: each cycle's update lands, and
+                # the next cycle's seed measures what it actually achieved.
+                rr_seed = G[0, 0]
+                done_now = rr_seed <= target2
+
                 # ---- replicated LS: min_y (e0 - Bred y)ᵀ G (e0 - Bred y)
-                # via G = LLᵀ -> ordinary LS min ||Lᵀ(e0 - Bred y)|| ----
-                jit_eps = jnp.finfo(dtype).eps * (jnp.trace(G) / m)
-                L = jnp.linalg.cholesky(G + jit_eps * eye_m)
-                A_ls = L.T @ Bred  # m×s
-                b_ls = L[0, :]  # = Lᵀ e0
+                # via G = L̃L̃ᵀ from the clamped eigendecomposition (a
+                # Cholesky NaNs out when the basis degenerates to near
+                # rank-1 — e.g. a near-identity operator — however the
+                # jitter is scaled; eigh is NaN-free and a rank-deficient
+                # factor just makes lstsq return the min-norm y) ----
+                w_ev, Q_ev = jnp.linalg.eigh(G)
+                Lt = jnp.sqrt(jnp.maximum(w_ev, 0.0))[:, None] * Q_ev.T
+                A_ls = Lt @ Bred  # m×s
+                b_ls = Lt[:, 0]  # = L̃ᵀ e0
                 y = jnp.linalg.lstsq(A_ls, b_ls)[0]
-                c = eye_m[:, 0] - Bred @ y
-                rr_new = jnp.maximum(jnp.dot(c, G @ c), 0.0)
+                y = jnp.where(done_now, jnp.zeros_like(y), y)
 
                 # ---- recover x (local, no comm) ----
                 x = x + jnp.tensordot(y, jnp.stack(V[:s]), axes=1)
-                return x, rr_new, it + s
+                # two consecutive cycles with no seed reduction = stagnated
+                stall = jnp.where(
+                    jnp.logical_not(done_now) & (rr_seed >= rr_prev),
+                    stall + 1,
+                    jnp.int32(0),
+                )
+                it = it + jnp.where(done_now, 0, s)
+                return x, rr_seed, it, done_now, stall
 
             def cond(carry):
-                _x, rr, it = carry
-                return (it < maxiter) & (rr > target2)
+                _x, _rr, it, done, stall = carry
+                return jnp.logical_not(done) & (it < maxiter) & (stall < 2)
 
             x0 = jnp.zeros(nloc, dtype)
-            x, rr, it = lax.while_loop(cond, outer_body, (x0, b2, jnp.int32(0)))
+            x, rr, it, done, _stall = lax.while_loop(
+                cond, outer_body,
+                (x0, b2 + 1.0, jnp.int32(0), jnp.asarray(False), jnp.int32(0)),
+            )
+
+            # ---- honest final report: when the loop exited mid-cycle
+            # (maxiter/stall), rr is the seed of the PREVIOUS x; one extra
+            # exchanged matvec reports the returned x's true residual ----
+            def true_rr(xf):
+                ts, te, td = _strip_exchange(
+                    [xf], nloc, rank, names, need_k, periodic
+                )
+                r_main = btl - Amv(xf, S_loc, gstart, nloc)
+
+                def rreplay(bands, zone):
+                    (bx,) = (bb.astype(dtype) for bb in bands)
+                    bbt = _stitch_band(
+                        c_ext, c_strips, 0, zone.d, zone.side, zone.lo_n,
+                        zone.hi_n, nloc,
+                    ).astype(dtype)
+                    bS = (
+                        _stitch_band(
+                            c_ext, c_strips, 1, zone.d, zone.side,
+                            zone.lo_n, zone.hi_n, nloc,
+                        ).astype(dtype)
+                        if S_loc is not None
+                        else None
+                    )
+                    return [bbt - Amv(bx, bS, zone.bases, bx.shape)]
+
+                (rf,) = _run_band_fixups(
+                    [r_main], 1, ts, te, td, need_k, nloc, rank, gstart,
+                    rreplay,
+                )
+                return gsum(jnp.sum(rf * rf))
+
+            rr = jnp.where(done, rr, true_rr(x))
             # un-transform: x = S y
             if S_loc is not None:
                 x = S_loc * x

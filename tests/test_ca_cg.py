@@ -152,17 +152,54 @@ class TestCACG:
         pp_pi, ps_pi = counts(plain, bs)
         # jaxpr counts are per traced loop BODY. CA: 2 fields x 4 strips
         # (one concurrent round) per s=8 iterations in the outer body, plus
-        # one 1-field constant exchange outside the loop; per-iteration CG:
+        # one 1-field constant exchange outside the loop and one 1-field
+        # exchange for the honest final-residual matvec; per-iteration CG:
         # 4 strips per iteration in its body (plus the seeding matvec).
-        assert pp_ca <= 2 * 4 + 1 * 4, pp_ca
+        assert pp_ca <= 2 * 4 + 2 * 4, pp_ca
         assert pp_pi >= 4, pp_pi
         # CA body: ONE Gram psum (2 mesh axes -> 2 psum calls) per s
-        # iterations + the one-off ||b||. (Per-iteration CG's dots/norms
-        # reduce via GSPMD outside shard_map — implicit in its jaxpr, one
-        # all-reduce round per dot at runtime; ps_pi is 0 by construction
-        # and not comparable.)
+        # iterations + the one-off ||b|| + the one-off final true-residual
+        # norm. (Per-iteration CG's dots/norms reduce via GSPMD outside
+        # shard_map — implicit in its jaxpr, one all-reduce round per dot
+        # at runtime; ps_pi is 0 by construction and not comparable.)
         del ps_pi
-        assert ps_ca <= 2 * 2 + 2, ps_ca
+        assert ps_ca <= 2 * 2 + 2 + 2, ps_ca
+
+    def test_block_spans_convergence_honest(self):
+        # Near-identity SPD operator (I - 0.1·lap): CG converges in ~4
+        # iterations, INSIDE one s=8 block. The Krylov basis degenerates
+        # and the in-block Gram quadratic forms round negative (f32).
+        # Regression (round 3): the solver used to report resnorm=nan with
+        # converged=True; it must report the honest true residual.
+        n = 64
+
+        @ntp.linear_op_def(
+            bounds=([0, 0], [n, n]), interior=([1, 1], [n - 1, n - 1]),
+            dtype="float32", name="near_id",
+        )
+        def near_id(u):
+            return 1.4 * u[0, 0] - 0.1 * (
+                u[-1, 0] + u[1, 0] + u[0, -1] + u[0, 1]
+            )
+
+        cm = ntp.get_context().compiled()
+        gm = GridMesh((4, 2), ("x", "y"))
+        b = rhs_2d(n, seed=5).astype(np.float32)
+        bs = gm.shard(jnp.asarray(b))
+        mv = jax.jit(shardmap_opdef(cm, "near_id", gm))
+        for s in (2, 4, 8):
+            solve = jax.jit(
+                cg_sharded(cm, "near_id", gm, s=s, maxiter=100, tol=1e-6)
+            )
+            x, info = solve(bs)
+            rep = float(info.resnorm)
+            true = float(jnp.linalg.norm(bs - mv(x)))
+            bn = float(np.linalg.norm(b))
+            assert np.isfinite(rep), f"s={s}: resnorm={rep}"
+            assert bool(info.converged), f"s={s}"
+            assert true <= 1e-6 * bn * 1.5, f"s={s}: true={true:.3e}"
+            # reported == true (both are the same exchanged-matvec residual)
+            assert abs(rep - true) <= 0.25 * true + 1e-6 * bn, (rep, true)
 
     def test_eligibility_errors(self):
         n = 64

@@ -184,11 +184,49 @@ class TestCAGMRES:
         ca = gmres_sharded(cm, "advdiff", gm, s=7, maxiter=98)
         pp_ca, ps_ca = counts(ca, bs)
         # CA body: 1 field x 4 strips per cycle + one 1-field constant
-        # exchange outside the loop
-        assert pp_ca <= 1 * 4 + 1 * 4, pp_ca
+        # exchange outside the loop + one 1-field exchange for the honest
+        # final-residual matvec
+        assert pp_ca <= 1 * 4 + 2 * 4, pp_ca
         # ONE Gram psum (2 mesh axes -> 2 psum calls) per cycle + the
-        # one-off ||b||
-        assert ps_ca <= 2 + 2, ps_ca
+        # one-off ||b|| + the one-off final true-residual norm
+        assert ps_ca <= 2 + 2 + 2, ps_ca
+
+    def test_cycle_spans_convergence_honest(self):
+        # Near-identity operator: GMRES(s) converges within one cycle, the
+        # LS objective value rounds to 0 in coefficient space (f32).
+        # Regression (round 3): the solver used to claim converged with
+        # resnorm=0 while the true residual was ~1e-4; control now rides
+        # the trustworthy cycle-seed norm and reporting is honest.
+        n = 64
+
+        @ntp.linear_op_def(
+            bounds=([0, 0], [n, n]), interior=([1, 1], [n - 1, n - 1]),
+            dtype="float32", name="near_id",
+        )
+        def near_id(u):
+            return 1.4 * u[0, 0] - 0.1 * (
+                u[-1, 0] + u[1, 0] + u[0, -1] + u[0, 1]
+            )
+
+        cm = ntp.get_context().compiled()
+        gm = GridMesh((4, 2), ("x", "y"))
+        rng = np.random.default_rng(9)
+        b = np.zeros((n, n), np.float32)
+        b[1:-1, 1:-1] = rng.standard_normal((n - 2, n - 2)).astype(np.float32)
+        bs = gm.shard(jnp.asarray(b))
+        mv = jax.jit(shardmap_opdef(cm, "near_id", gm))
+        for s in (2, 3, 6):
+            solve = jax.jit(
+                gmres_sharded(cm, "near_id", gm, s=s, maxiter=100, tol=1e-6)
+            )
+            x, info = solve(bs)
+            rep = float(info.resnorm)
+            true = float(jnp.linalg.norm(bs - mv(x)))
+            bn = float(np.linalg.norm(b))
+            assert np.isfinite(rep), f"s={s}: resnorm={rep}"
+            assert bool(info.converged), f"s={s}"
+            assert true <= 1e-6 * bn * 1.5, f"s={s}: true={true:.3e}"
+            assert abs(rep - true) <= 0.25 * true + 1e-6 * bn, (rep, true)
 
     def test_eligibility_errors(self):
         n = 64
