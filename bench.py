@@ -105,6 +105,41 @@ def make_advection_2d(n, dtype="float32"):
     return adv4
 
 
+def make_composite_2d(n, dtype="float32"):
+    """Composite opdef wrapped(u) = u + 0.01*lap(lap(u)) — the reference's
+    normal operator shape (apply_linear chain + combination apply, e.g.
+    ac_A in /root/reference/test/smoke_tests/smoke_time_advance.mlir:30-60);
+    composed reach 2."""
+    import neptune_tpu as ntp
+    from neptune_tpu.ir import Bounds, ScalarType, TempType
+
+    ntp.reset_context()
+
+    @ntp.linear_op_def(
+        bounds=([0, 0], [n, n]), interior=([1, 1], [n - 1, n - 1]), dtype=dtype
+    )
+    def lap2d(u):
+        return 4.0 * u[0, 0] - u[-1, 0] - u[1, 0] - u[0, -1] - u[0, 1]
+
+    ctx = ntp.get_context()
+    b = ctx.builder
+    tt = TempType(dtype, Bounds.of([0, 0], [n, n]))
+    fn = b.make_opdef("wrapped", "linear_opdef", [tt], [tt])
+    b.push_block(fn.body)
+    lapx = b.apply_linear("lap2d", [fn.body.args[0]])
+    lap2x = b.apply_linear("lap2d", [lapx])
+    op, body = b.start_apply([fn.body.args[0], lap2x], tt.bounds)
+    b.push_block(body)
+    x0 = b.access(body.args[2], [0, 0])
+    l0 = b.access(body.args[3], [0, 0])
+    b.yield_(b.add(x0, b.mul(b.constant(0.01, ScalarType(dtype)), l0)))
+    b.pop_block()
+    b.return_([b.finish_apply(op)])
+    b.pop_block()
+    ctx.bump()
+    return ctx.compiled()
+
+
 def headline():
     import jax
     import jax.numpy as jnp
@@ -124,14 +159,14 @@ def headline():
     }
 
 
-def full_suite():
+def full_suite(results=None):
     import jax
     import jax.numpy as jnp
 
     from neptune_tpu.solvers import cg
     import neptune_tpu as ntp
 
-    results = {}
+    results = {} if results is None else results
     rng = np.random.default_rng(0)
 
     # config 1: 2D 5-pt Jacobi 1024^2
@@ -399,62 +434,176 @@ def full_suite():
         "kernel": "communication-avoiding Chebyshev (8 iters/exchange, 1 psum/solve)",
     }
 
+    # config 5h: composite opdef (the reference's normal operator shape) on
+    # the fused strip path with per-stage Pallas window main sweeps, vs the
+    # ghost-extended-block fallback it retires
+    n = 1024
+    cmw = make_composite_2d(n)
+    xw = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
+    mv = shardmap_opdef(cmw, "wrapped", gm)
+    dt = timed_sweep(mv, xw, 100, 500)
+    mv_ext = shardmap_opdef(cmw, "wrapped", gm, backend="pallas")
+    dt_ext = timed_sweep(mv_ext, xw, 100, 500)
+    results["shardmap_composite_1dev_1024"] = {
+        "us_per_sweep": dt * 1e6,
+        "gcell_per_s": n * n / dt / 1e9,
+        "frac_of_hbm_roofline": (n * n / dt) / ROOFLINE_CELLS,
+        "vs_ext_path": dt_ext / dt,
+        "kernel": "composite opdef (u + 0.01*lap(lap(u))) fused strips + per-stage Pallas window main sweep",
+    }
+
+    # config 5i: s-step CA-CG — one exchange + one Gram psum per s
+    # iterations (the reference's default KSP made communication-avoiding)
+    from neptune_tpu.parallel import cg_sharded, gmres_sharded
+
+    nc, s_steps = 256, 8
+    ntp.reset_context()
+
+    @ntp.linear_op_def(
+        bounds=([0, 0], [nc, nc]),
+        interior=([1, 1], [nc - 1, nc - 1]),
+        dtype="float32",
+        name="lap_cacg",
+    )
+    def lap_cacg(u):
+        return 4.0 * u[0, 0] - u[-1, 0] - u[1, 0] - u[0, -1] - u[0, 1]
+
+    cmc = ntp.get_context().compiled()
+    bb = np.zeros((nc, nc), np.float32)
+    bb[1:-1, 1:-1] = rng.standard_normal((nc - 2, nc - 2))
+    lmin = 2.0 * (2.0 - 2.0 * np.cos(np.pi / (nc + 1)))
+    bbs = gm.shard(jnp.asarray(bb))
+    solve = jax.jit(
+        cg_sharded(
+            cmc, "lap_cacg", gm, s=s_steps, maxiter=2000, tol=1e-4,
+            basis="chebyshev", lam_min=lmin, lam_max=8.0,
+        )
+    )
+    xs, info = solve(bbs)
+    _ = float(jnp.sum(xs))
+    t0 = time.perf_counter()
+    xs, info = solve(bbs)
+    _ = float(jnp.sum(xs))
+    dt = time.perf_counter() - t0
+    results["ca_cg_256_s8"] = {
+        "iters": int(info.iters),
+        "sec_per_solve": dt,
+        "iters_per_sec": int(info.iters) / dt,
+        "converged": bool(info.converged),
+        "tol": 1e-4,
+        "kernel": "s-step CA-CG (chebyshev basis, 1 exchange + 1 psum per 8 iters)",
+    }
+
+    # config 5j: s-step CA-GMRES(s) — one exchange + ONE psum per restart
+    # cycle (vs s exchanges + O(s^2) dots for MGS)
+    solve = jax.jit(
+        gmres_sharded(
+            cmc, "lap_cacg", gm, s=8, maxiter=2000, tol=1e-4,
+            basis="chebyshev", lam_min=lmin, lam_max=8.0,
+        )
+    )
+    xs, info = solve(bbs)
+    _ = float(jnp.sum(xs))
+    t0 = time.perf_counter()
+    xs, info = solve(bbs)
+    _ = float(jnp.sum(xs))
+    dt = time.perf_counter() - t0
+    results["ca_gmres_256_s8"] = {
+        "iters": int(info.iters),
+        "sec_per_solve": dt,
+        "iters_per_sec": int(info.iters) / dt,
+        "converged": bool(info.converged),
+        "tol": 1e-4,
+        "kernel": "CA-GMRES(8) (chebyshev basis, 1 exchange + 1 psum per cycle)",
+    }
+
+    # config 5k: bf16 sharded window path (ROADMAP: the bf16 multi-copy vs
+    # DMA trade under shard_map) — bf16 roofline is 2 bytes/cell each way
+    n4 = 4096
+    cmb = None
+    try:
+        import neptune_tpu as _ntp
+
+        _ntp.reset_context()
+
+        @_ntp.linear_op_def(
+            bounds=([0, 0], [n4, n4]),
+            interior=([1, 1], [n4 - 1, n4 - 1]),
+            dtype="bfloat16",
+            name="jac_bf16",
+        )
+        def jac_bf16(u):
+            return 0.25 * (u[-1, 0] + u[1, 0] + u[0, -1] + u[0, 1])
+
+        cmb = _ntp.get_context().compiled()
+        xb = jnp.asarray(
+            rng.standard_normal((n4, n4)), jnp.bfloat16
+        )
+        mv = shardmap_opdef(cmb, "jac_bf16", gm)
+        dt = timed_sweep(mv, xb, 40, 200)
+        bf16_roofline = HBM_BYTES_PER_SEC / 4.0
+        results["shardmap_fused_1dev_4096_bf16"] = {
+            "us_per_sweep": dt * 1e6,
+            "gcell_per_s": n4 * n4 / dt / 1e9,
+            "frac_of_bf16_hbm_roofline": (n4 * n4 / dt) / bf16_roofline,
+            "kernel": "bf16 shard_map fused strips + Pallas window core sweep",
+        }
+    except Exception as e:
+        results["shardmap_fused_1dev_4096_bf16"] = {
+            "error": f"{type(e).__name__}: {e}"
+        }
+
     # config 6: f64 accuracy — implicit heat step on TPU vs the native C++
     # runtime oracle (the reference's compiled-kernel + solver path), the
     # BASELINE "match reference CPU outputs to 1e-10" row as a tracked
     # artifact. Runs in a subprocess because it needs jax_enable_x64, which
     # must not leak into the f32 Pallas perf configs above.
-    import pathlib
-    import subprocess
-
-    r = subprocess.run(
-        [
-            sys.executable,
-            "-c",
-            "import jax; jax.config.update('jax_enable_x64', True); "
-            "import bench, json; print(json.dumps(bench.f64_accuracy_entry()))",
-        ],
-        cwd=str(pathlib.Path(__file__).parent),
-        capture_output=True,
-        text=True,
-        timeout=600,
+    results["f64_accuracy_vs_native"] = _x64_subprocess_entry(
+        "f64_accuracy_entry"
     )
-    if r.returncode == 0:
-        results["f64_accuracy_vs_native"] = json.loads(r.stdout.strip().splitlines()[-1])
-    else:
-        results["f64_accuracy_vs_native"] = {
-            "error": f"rc={r.returncode}: {r.stderr[-500:]}"
-        }
 
     # config 4b: CG Poisson carried to 1e-10 via mixed-precision iterative
     # refinement (f32 inner solves + f64 residual accumulation) — the
     # "bit-stable convergence" row at full accuracy. x64 subprocess as above.
-    r = subprocess.run(
-        [
-            sys.executable,
-            "-c",
-            "import jax; jax.config.update('jax_enable_x64', True); "
-            "import bench, json; print(json.dumps(bench.cg_mixed_entry()))",
-        ],
-        cwd=str(pathlib.Path(__file__).parent),
-        capture_output=True,
-        text=True,
-        timeout=600,
+    results["cg_poisson_512_mixed_1e10"] = _x64_subprocess_entry(
+        "cg_mixed_entry"
     )
-    if r.returncode == 0:
-        results["cg_poisson_512_mixed_1e10"] = json.loads(
-            r.stdout.strip().splitlines()[-1]
-        )
-    else:
-        results["cg_poisson_512_mixed_1e10"] = {
-            "error": f"rc={r.returncode}: {r.stderr[-500:]}"
-        }
 
     results["note_multichip"] = (
         "single chip available; multi-chip execution validated via "
         "__graft_entry__.dryrun_multichip on a virtual mesh"
     )
     return results
+
+
+def _x64_subprocess_entry(entry_name: str, timeout: int = 1200):
+    """Run bench.<entry_name>() in a jax_enable_x64 subprocess (x64 must not
+    leak into the f32 Pallas configs of the parent). A timeout or crash
+    becomes an {"error": ...} row instead of killing the whole sweep."""
+    import pathlib
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import jax; jax.config.update('jax_enable_x64', True); "
+                f"import bench, json; print(json.dumps(bench.{entry_name}()))",
+            ],
+            cwd=str(pathlib.Path(__file__).parent),
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        return {"error": f"{entry_name} timed out after {timeout}s"}
+    if r.returncode == 0:
+        try:
+            return json.loads(r.stdout.strip().splitlines()[-1])
+        except Exception as e:
+            return {"error": f"unparseable output: {type(e).__name__}"}
+    return {"error": f"rc={r.returncode}: {r.stderr[-500:]}"}
 
 
 def f64_accuracy_entry():
@@ -728,23 +877,8 @@ def core_table():
     })
 
     # mixed-precision CG to 1e-10 (x64 subprocess; f32 inner + f64 refine)
-    import pathlib
-    import subprocess
-
-    r = subprocess.run(
-        [
-            sys.executable,
-            "-c",
-            "import jax; jax.config.update('jax_enable_x64', True); "
-            "import bench, json; print(json.dumps(bench.cg_mixed_entry()))",
-        ],
-        cwd=str(pathlib.Path(__file__).parent),
-        capture_output=True,
-        text=True,
-        timeout=600,
-    )
-    if r.returncode == 0:
-        e = json.loads(r.stdout.strip().splitlines()[-1])
+    e = _x64_subprocess_entry("cg_mixed_entry")
+    if "error" not in e:
         lines.append({
             "metric": "mixed-precision CG to 1e-10 (512^2 Poisson, f32 inner + f64 refine)",
             "value": round(e["inner_iters_per_sec"], 0),
@@ -760,7 +894,7 @@ def core_table():
             "value": -1,
             "unit": "inner iters/s",
             "vs_baseline": 0.0,
-            "error": r.stderr[-300:],
+            "error": e["error"],
         })
     return lines
 
@@ -769,11 +903,19 @@ if __name__ == "__main__":
     if "--all" in sys.argv:
         import pathlib
 
-        res = full_suite()
         p = pathlib.Path(__file__).parent / "benchmarks" / "results.json"
         p.parent.mkdir(exist_ok=True)
-        p.write_text(json.dumps(res, indent=2))
-        print(json.dumps(res, indent=2), file=sys.stderr)
+
+        class _AutoSave(dict):
+            """Persist after every entry: a crash mid-sweep keeps the
+            entries measured so far instead of losing the run."""
+
+            def __setitem__(self, k, v):
+                super().__setitem__(k, v)
+                p.write_text(json.dumps(self, indent=2))
+
+        res = full_suite(_AutoSave())
+        print(json.dumps(dict(res), indent=2), file=sys.stderr)
     elif "--headline-only" not in sys.argv:
         for line in core_table():
             print(json.dumps(line))
