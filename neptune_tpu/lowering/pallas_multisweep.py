@@ -66,7 +66,14 @@ from . import jnp_backend
 # double-buffered out block; budget sized so a 4096-wide f32 grid gets a
 # 64-row slab (measured fit under the 16MB scoped-vmem limit on v5e)
 _VMEM_BUDGET = 9 * 1024 * 1024
-_MAX_HP = 24  # cap the fused depth: K * h0 <= 24 halo rows
+# Cap the fused depth at K * h0 <= 48 halo rows (padded to 8). This is a
+# compile-time guard (K unrolled sweeps of rolls), not the profitability
+# bound: best_depth's slab >= 4*hp criterion is what rejects depths whose
+# window-recompute overhead eats the HBM saving, and the VMEM-budget slab
+# fit already shrinks eligibility at wide rows. Raised from 24 (which
+# capped 4th-order h0=2 stencils at K<=12): with the recompute criterion in
+# place the extra headroom only admits configurations that measure faster.
+_MAX_HP = 48
 
 
 def find_sweep_apply(

@@ -137,7 +137,20 @@ class TestFusedSweeps:
         m = jacobi_module(128, 256, FIVE_POINT)
         cm = compile_ir(m, backend="auto")
         assert pallas_multisweep.sweeps_plan(cm.module, "op", 1) is None
-        assert pallas_multisweep.sweeps_plan(cm.module, "op", 25) is None
+        assert pallas_multisweep.sweeps_plan(cm.module, "op", 49) is None
+        # wide stencil: h0 = 2 halves the depth cap
+        mw = jacobi_module(128, 256, WIDE)
+        cmw = compile_ir(mw, backend="auto")
+        assert pallas_multisweep.sweeps_plan(cmw.module, "op", 25) is None
+
+    def test_deep_wide_fusion(self):
+        # h0 = 2 at K = 16 (hp = 32): beyond the old 24-row cap; the fused
+        # window must still be bit-faithful to 16 separate applies
+        run_both(jacobi_module(256, 256, WIDE), (256, 256), 16)
+
+    def test_deep_five_point_fusion(self):
+        # h0 = 1 at K = 32 (hp = 32)
+        run_both(jacobi_module(256, 256, FIVE_POINT), (256, 256), 32)
 
     @pytest.mark.parametrize("k", [11, 16])
     def test_depth_decomposition(self, k):
