@@ -145,20 +145,42 @@ def find_sweep_apply(
 _VMEM_BUDGET_3D = 48 * 1024 * 1024
 
 
-def _pick_slab(extent0: int, row_bytes: int, hp: int, rank: int) -> Optional[int]:
+# rank-2 escalation budget: when the 9MB-budget slab lands under the
+# 4*hp profitability bar (wide h0 stencils at wide rows force hp up while
+# row_bytes squeezes the slab), retry with more scoped VMEM — v5e has 128MB
+# per core and the pallas_call already raises Mosaic's limit for working
+# sets past the default 16MB stack. A deeper fused K at a somewhat worse
+# per-pass overlap still wins: the HBM saving scales with K.
+_VMEM_BUDGET_WIDE = 28 * 1024 * 1024
+
+
+def _pick_slab(
+    extent0: int, row_bytes: int, hp: int, rank: int, budget: int | None = None
+) -> Optional[int]:
     """Largest 8-aligned divisor of extent0 fitting the window working set:
     2 scratch windows + ~3 live window values + 2 out blocks."""
-    if rank == 2:
-        s = (_VMEM_BUDGET // max(row_bytes, 1) - 10 * hp) // 7
-    else:
-        # (5*win + 2*slab) * row_bytes <= budget, win = slab + 2*hp
-        s = (_VMEM_BUDGET_3D // max(row_bytes, 1) - 10 * hp) // 7
+    if budget is None:
+        budget = _VMEM_BUDGET if rank == 2 else _VMEM_BUDGET_3D
+    # (5*win + 2*slab) * row_bytes <= budget, win = slab + 2*hp
+    s = (budget // max(row_bytes, 1) - 10 * hp) // 7
     # the window (slab + 2*hp rows) must fit inside the array
     s = min((s // 8) * 8, extent0 - 2 * hp)
     for cand in range(s, 7, -8):
         if extent0 % cand == 0:
             return cand
     return None
+
+
+def _pick_slab_rank2(extent0: int, row_bytes: int, hp: int) -> Optional[int]:
+    """Rank-2 slab: default budget first; if that slab misses the 4*hp
+    profitability bar, escalate the budget before giving up on the depth."""
+    slab = _pick_slab(extent0, row_bytes, hp, 2)
+    if slab is not None and slab >= 4 * hp:
+        return slab
+    wide = _pick_slab(extent0, row_bytes, hp, 2, budget=_VMEM_BUDGET_WIDE)
+    if wide is not None and wide >= 4 * hp:
+        return wide
+    return slab
 
 
 def sweeps_plan(module: Module, name: str, k: int) -> Optional[dict]:
@@ -176,7 +198,11 @@ def sweeps_plan(module: Module, name: str, k: int) -> Optional[dict]:
         return None
     dtype = jnp.dtype(out_type.element)
     row_bytes = math.prod(shape[1:]) * dtype.itemsize
-    slab = _pick_slab(shape[0], row_bytes, hp, rank)
+    slab = (
+        _pick_slab_rank2(shape[0], row_bytes, hp)
+        if rank == 2
+        else _pick_slab(shape[0], row_bytes, hp, rank)
+    )
     if slab is None:
         return None
     win = slab + 2 * hp
@@ -594,7 +620,11 @@ def local_window_plan(op: Operation, shape, k: int) -> Optional[dict]:
         return None
     dtype = jnp.dtype(out_type.element)
     row_bytes = math.prod(shape[1:]) * dtype.itemsize
-    slab = _pick_slab(shape[0], row_bytes, hp, rank)
+    slab = (
+        _pick_slab_rank2(shape[0], row_bytes, hp)
+        if rank == 2
+        else _pick_slab(shape[0], row_bytes, hp, rank)
+    )
     if slab is None:
         return None
     win = slab + 2 * hp

@@ -152,6 +152,18 @@ class TestFusedSweeps:
         # h0 = 1 at K = 32 (hp = 32)
         run_both(jacobi_module(256, 256, FIVE_POINT), (256, 256), 32)
 
+    def test_wide_row_budget_escalation(self):
+        # 2048-wide rows at h0 = 2, K = 16 (hp = 32): the default 9MB
+        # budget only fits a 64-row slab (< 4*hp), so the plan escalates
+        # to the wide budget and still matches the K-fold oracle
+        from neptune_tpu.lowering.pallas_multisweep import sweeps_plan
+
+        m = jacobi_module(256, 2048, WIDE)
+        cm = compile_ir(m, backend="auto")
+        plan = sweeps_plan(cm.module, "op", 16)
+        assert plan is not None and plan["slab"] >= 4 * plan["hp"], plan
+        run_both(m, (256, 2048), 16)
+
     @pytest.mark.parametrize("k", [11, 16])
     def test_depth_decomposition(self, k):
         # k beyond the per-call cap runs as chained fused calls (+ leftover
