@@ -171,8 +171,14 @@ def eval_scalar_dag(
             if op.name == "arith.mul" and config.pinned_arithmetic:
                 # reproducibility fence: keep the product out of any FMA —
                 # contraction placement depends on the local tile shape,
-                # which is what breaks cross-mesh-shape bitwise identity
-                r = jax.lax.optimization_barrier(r)
+                # which is what breaks cross-mesh-shape bitwise identity.
+                # Must be the select-based fence: optimization_barrier /
+                # reduce_precision / bitcast are all stripped or looked
+                # through by XLA (measured — see utils/tree.py's design
+                # note), leaving the multiply contractable after all.
+                from ..utils.tree import _fma_fence
+
+                r = _fma_fence(r)
             env[op.results[0].uid] = r
         elif op.name in _UNARY:
             env[op.results[0].uid] = _UNARY[op.name](lookup(op.operands[0]))

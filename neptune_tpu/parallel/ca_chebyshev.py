@@ -223,31 +223,35 @@ def chebyshev_sharded(
                         v = lax.psum(v, nm)
                 return v
 
+            def true_residual(xc):
+                """b - A·x with a 1x-reach exchange + band fixup (one
+                extra matvec; the rebase is what keeps the long f32
+                recurrence drift-free, and the final report always uses
+                it so resnorm is never the drifted recurrence value)."""
+                ts, te, td = _strip_exchange(
+                    [xc], nloc, rank, names, need, periodic
+                )
+                Ax = matvec_block(xc, gstart, nloc)
+                (Ax,) = _run_band_fixups(
+                    [Ax], 1, ts, te, td, need, nloc, rank, gstart,
+                    lambda bands, zone: [
+                        matvec_block(bb, zone.bases, bb.shape)
+                        for bb in bands
+                    ],
+                )
+                return bl - Ax
+
             if check_every <= 0:
                 x, r, d0, rho_prev = lax.fori_loop(
                     0, n_chunks, chunk_body, (x, r, d0, rho_prev)
                 )
+                # the loop itself stays reduction-free; the final report
+                # rebases on the true residual (solvers.chebyshev parity)
+                r = true_residual(x)
                 done_chunks = jnp.int32(n_chunks)
             else:
                 b2g = gsum(jnp.sum(bl * bl))
                 target2 = (tol * tol) * b2g
-
-                def true_residual(xc):
-                    """b - A·x with a 1x-reach exchange + band fixup (one
-                    extra matvec per check; the rebase is what keeps the
-                    long f32 recurrence drift-free)."""
-                    ts, te, td = _strip_exchange(
-                        [xc], nloc, rank, names, need, periodic
-                    )
-                    Ax = matvec_block(xc, gstart, nloc)
-                    (Ax,) = _run_band_fixups(
-                        [Ax], 1, ts, te, td, need, nloc, rank, gstart,
-                        lambda bands, zone: [
-                            matvec_block(bb, zone.bases, bb.shape)
-                            for bb in bands
-                        ],
-                    )
-                    return bl - Ax
 
                 def cond(state):
                     ic, r2_c, _ = state

@@ -128,7 +128,7 @@ def ca_smoother(
             rho_prev = rho
         return x, r
 
-    def smooth_core(bl, xl, rl, idl, nloc, gstart):
+    def smooth_core(xl, rl, idl, nloc, gstart):
         """One fused smoothing pass given a locally-complete residual."""
         strips, ext_slice, sharded_dims = _strip_exchange(
             [xl, rl], nloc, rank, names, need_k, periodic
@@ -173,14 +173,14 @@ def ca_smoother(
             ],
         )
         rl = bl.astype(dtype) - Ax
-        xm, rm = smooth_core(bl, xl.astype(dtype), rl, idl, nloc, gstart)
+        xm, rm = smooth_core(xl.astype(dtype), rl, idl, nloc, gstart)
         return xm, rm
 
     def local_from_zero(bl, idl):
         nloc = bl.shape
         gstart = _gstart(nloc, rank, names, outer)
         bl = bl.astype(dtype)
-        xm, rm = smooth_core(bl, jnp.zeros_like(bl), bl, idl, nloc, gstart)
+        xm, rm = smooth_core(jnp.zeros_like(bl), bl, idl, nloc, gstart)
         return xm, rm
 
     idspec = spec if has_id else gmesh.pspec(0)
@@ -230,11 +230,34 @@ def build_ca_levels(
     """
     from ..solvers.multigrid import build_levels
 
+    def _with_halo(mv, halo):
+        """build_levels probes the operator diagonal with stencil-period
+        shifts; a bare callable without `.halo` falls back to period
+        (1, 1), which ALIASES taps of reach > 1 into the diagonal (wrong
+        inv_diag, wrong lam_max, silently degraded smoothing). Attach the
+        verifier's halo so probing is exact for any reach."""
+        try:
+            mv.halo = halo
+            return mv
+        except AttributeError:  # e.g. a jit wrapper that rejects attrs
+
+            def shim(v, _mv=mv):
+                return _mv(v)
+
+            shim.halo = halo
+            return shim
+
     mvs = (
         list(matvecs)
         if matvecs is not None
         else [shardmap_opdef(cm, nm, gmesh) for nm in names]
     )
+    mvs = [
+        mv
+        if getattr(mv, "halo", None)
+        else _with_halo(mv, cm.module.lookup(nm).attrs["halo"])
+        for mv, nm in zip(mvs, names)
+    ]
     levels = build_levels(mvs, like)
     out = []
     for lvl, nm in zip(levels, names):

@@ -653,7 +653,6 @@ def _shardmap_fused(cm, fn, op, gmesh, names, spec, tt, plan) -> Callable:
     n_results = len(op.results)
     need, scalar_vals, ret_index, arg_order = plan
     full_domain = bounds == outer
-    n_args = len(fn.ftype.inputs)
     periodic = bool(op.attrs.get("periodic"))
     # torus ops: UNSHARDED dims wrap locally (local extent == global there);
     # sharded dims zero-fill like before — their local wrap would be
@@ -666,11 +665,7 @@ def _shardmap_fused(cm, fn, op, gmesh, names, spec, tt, plan) -> Callable:
             inputs_loc = [locs[i] for i in arg_order]
             scalars_rt = _resolve_scalars(scalar_vals, locs)
             nloc = inputs_loc[0].shape
-            gstart = []
-            for d in range(rank):
-                nm = names[d]
-                base = lax.axis_index(nm) * nloc[d] if nm else jnp.int32(0)
-                gstart.append(jnp.asarray(base, jnp.int32) + jnp.int32(outer.lb[d]))
+            gstart = _gstart(nloc, rank, names, outer)
 
             def adj_of(k, offset):
                 return tuple(
@@ -876,7 +871,6 @@ def _shardmap_fused_composite(
     replicated and flow through both chain evaluations.
     """
     rank = tt.bounds.rank
-    n_args = len(fn.ftype.inputs)
     n_fields = _scalar_args_trailing(fn)
     n_out = len(fn.ftype.results)
     outer = tt.bounds
@@ -885,13 +879,7 @@ def _shardmap_fused_composite(
         def local_fn(*locs):
             flocs, slocs = list(locs[:n_fields]), list(locs[n_fields:])
             nloc = flocs[0].shape
-            gstart = []
-            for d in range(rank):
-                nm = names[d]
-                base = lax.axis_index(nm) * nloc[d] if nm else jnp.int32(0)
-                gstart.append(
-                    jnp.asarray(base, jnp.int32) + jnp.int32(outer.lb[d])
-                )
+            gstart = _gstart(nloc, rank, names, outer)
 
             # main: the whole chain, zero-ghost, on the cores — per-stage
             # Pallas window kernels on TPU (jnp fallback per stage)
@@ -974,7 +962,6 @@ def shardmap_opdef(
         halo = tuple((0, 0) for _ in range(rank))
     names = list(gmesh.axis_names[:rank]) + [None] * (rank - len(gmesh.axis_names))
     spec = gmesh.pspec(rank)
-    n_args = len(fn.ftype.inputs)
 
     if backend in ("jnp", "pallas"):
         apply_op = _single_apply(fn)
@@ -1125,11 +1112,7 @@ def shardmap_sweeps(
         def local_fn(xl, *sl):
             scalars_rt = _resolve_scalars(scalar_vals, [xl, *sl])
             nloc = xl.shape
-            gstart = []
-            for d in range(rank):
-                nm = names[d]
-                base = lax.axis_index(nm) * nloc[d] if nm else jnp.int32(0)
-                gstart.append(jnp.asarray(base, jnp.int32) + jnp.int32(outer.lb[d]))
+            gstart = _gstart(nloc, rank, names, outer)
 
             def adj_of(offset):
                 return tuple(

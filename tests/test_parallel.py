@@ -838,6 +838,48 @@ def test_ca_chebyshev_early_stop():
     assert np.linalg.norm(res) <= 1e-8 * np.linalg.norm(b) * 2
 
 
+def test_ca_chebyshev_reduction_free_reports_true_residual():
+    """Regression (round-3 review): the check_every=0 path used to report
+    the drifted recurrence residual; the final report must rebase on the
+    true b - A·x (solvers.chebyshev reduction-free parity), while the loop
+    itself stays collective-free."""
+    from neptune_tpu.parallel import chebyshev_sharded
+
+    n = 128
+
+    @ntp.linear_op_def(
+        bounds=([0, 0], [n, n]), interior=([1, 1], [n - 1, n - 1]),
+        dtype="float32", name="lap_rf",
+    )
+    def lap_rf(u):
+        return 4.0 * u[0, 0] - u[-1, 0] - u[1, 0] - u[0, -1] - u[0, 1]
+
+    cm = ntp.get_context().compiled()
+    gm = GridMesh((4, 2), ("x", "y"))
+    rng = np.random.default_rng(3)
+    b = np.zeros((n, n), np.float32)
+    b[1:-1, 1:-1] = rng.standard_normal((n - 2, n - 2)).astype(np.float32)
+    lam_min = float(4 - 4 * np.cos(np.pi / (n - 1)))
+    x, info = jax.jit(
+        chebyshev_sharded(
+            cm, "lap_rf", gm, lam_min=lam_min, lam_max=8.0,
+            k_fuse=8, maxiter=4000, tol=4e-5, check_every=0,
+        )
+    )(gm.shard(jnp.asarray(b)))
+    xx = np.asarray(x, np.float64)
+    Ax = np.zeros_like(xx)
+    Ax[1:-1, 1:-1] = (
+        4 * xx[1:-1, 1:-1] - xx[:-2, 1:-1] - xx[2:, 1:-1]
+        - xx[1:-1, :-2] - xx[1:-1, 2:]
+    )
+    Ax[0, :] = xx[0, :]
+    Ax[-1, :] = xx[-1, :]
+    Ax[1:-1, 0] = xx[1:-1, 0]
+    Ax[1:-1, -1] = xx[1:-1, -1]
+    true = float(np.linalg.norm(b - Ax))
+    assert abs(float(info.resnorm) - true) / max(true, 1e-30) < 0.05
+
+
 def test_ca_chebyshev_check_reports_true_residual():
     """The check path rebases the recurrence on the true b - A·x at every
     check boundary (one extra exchanged matvec), so at f32 over thousands
@@ -911,6 +953,32 @@ class TestCAMultigrid:
         b[1:-1, 1:-1] = rng.standard_normal((126, 126))
         bs = gm.shard(jnp.asarray(b))
         return cm, gm, lvls, b, bs
+
+    def test_wide_stencil_diagonal_probe(self):
+        """Regression (round-3 review): build_ca_levels' default matvecs
+        are bare shardmap_opdef closures with no halo metadata, so
+        build_levels used to probe the diagonal at period (1,1) — aliasing
+        reach-2 taps INTO the diagonal (6 - 4 = 2 instead of 6 here) and
+        silently degrading every smoother built from it."""
+        from neptune_tpu.parallel import build_ca_levels
+
+        n = 64
+
+        @ntp.linear_op_def(
+            bounds=([0, 0], [n, n]), interior=([2, 2], [n - 2, n - 2]),
+            name="wide5",
+        )
+        def wide5(u):
+            return 6.0 * u[0, 0] - u[-2, 0] - u[2, 0] - u[0, -2] - u[0, 2]
+
+        cm = ntp.get_context().compiled()
+        gm = GridMesh((4, 2), ("x", "y"))
+        lvls = build_ca_levels(cm, ["wide5"], gm, jnp.zeros((n, n)), k=2)
+        d = np.asarray(lvls[0].inv_diag)
+        np.testing.assert_allclose(d[2:-2, 2:-2], 1.0 / 6.0, atol=1e-12)
+        # boundary copy-through rows are identity rows
+        np.testing.assert_allclose(d[0, :], 1.0, atol=1e-12)
+        np.testing.assert_allclose(d[:, -1], 1.0, atol=1e-12)
 
     def test_smoother_matches_chebyshev_trajectory(self):
         """k fused CA iterations == solvers.chebyshev at maxiter=k over the
