@@ -517,6 +517,28 @@ def full_suite(results=None):
         "kernel": "CA-GMRES(8) (chebyshev basis, 1 exchange + 1 psum per cycle)",
     }
 
+    # config 5j2: s-step CA-BiCGStab — the trio's nonsymmetric workhorse
+    # (chains 2s+1 deep: one exchange + one psum per 2 iterations at s=2)
+    from neptune_tpu.parallel import bicgstab_sharded
+
+    solve = jax.jit(
+        bicgstab_sharded(cmc, "lap_cacg", gm, s=2, maxiter=2000, tol=1e-4)
+    )
+    xs, info = solve(bbs)
+    _ = float(jnp.sum(xs))
+    t0 = time.perf_counter()
+    xs, info = solve(bbs)
+    _ = float(jnp.sum(xs))
+    dt = time.perf_counter() - t0
+    results["ca_bicgstab_256_s2"] = {
+        "iters": int(info.iters),
+        "sec_per_solve": dt,
+        "iters_per_sec": int(info.iters) / dt,
+        "converged": bool(info.converged),
+        "tol": 1e-4,
+        "kernel": "s-step CA-BiCGStab (1 exchange + 1 psum per 2 iters)",
+    }
+
     # config 5k: bf16 sharded window path (ROADMAP: the bf16 multi-copy vs
     # DMA trade under shard_map) — bf16 roofline is 2 bytes/cell each way
     n4 = 4096

@@ -31,7 +31,13 @@ import jax
 import jax.numpy as jnp
 
 import neptune_tpu as ntp
-from neptune_tpu.parallel import GridMesh, cg_sharded, gmres_sharded, shardmap_opdef
+from neptune_tpu.parallel import (
+    GridMesh,
+    bicgstab_sharded,
+    cg_sharded,
+    gmres_sharded,
+    shardmap_opdef,
+)
 from neptune_tpu.solvers import cg
 
 N = 128
@@ -99,16 +105,29 @@ def main():
         f"(1 exchange + 1 psum per cycle)"
     )
 
+    # CA-BiCGStab: the trio's nonsymmetric workhorse (chains run 2s+1 deep,
+    # so s stays small — one exchange + one psum per 2 iterations here)
+    solve_cabi = jax.jit(
+        bicgstab_sharded(cm, "poisson", gm, s=2, maxiter=4000, tol=tol)
+    )
+    x3, info3 = solve_cabi(bs)
+    print(
+        f"CA-BiCGStab(s=2): iters={int(info3.iters)} "
+        f"rel_res={float(info3.resnorm) / bn:.2e} "
+        f"(1 exchange + 1 psum per 2 iterations)"
+    )
+
     # every reported residual must be the TRUE residual of the returned x
     for name, x, info in (
-        ("cg", x0, info0), ("ca_cg", x1, info1), ("ca_gmres", x2, info2)
+        ("cg", x0, info0), ("ca_cg", x1, info1), ("ca_gmres", x2, info2),
+        ("ca_bicgstab", x3, info3),
     ):
         assert bool(info.converged), name
         true = float(jnp.linalg.norm(bs - mv(x)))
         rep = float(info.resnorm)
         assert true <= tol * bn * 1.6, (name, true / bn)
         assert abs(rep - true) <= 0.3 * true + 1e-6 * bn, (name, rep, true)
-    print("all three solves converged; reported residuals are true residuals")
+    print("all four solves converged; reported residuals are true residuals")
 
 
 if __name__ == "__main__":

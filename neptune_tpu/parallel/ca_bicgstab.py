@@ -1,0 +1,380 @@
+"""Communication-avoiding (s-step) BiCGStab on sharded fields.
+
+Completes the reference's KSP trio (`solve_linear` accepts
+"cg"/"gmres"/"bicgstab",
+/root/reference/include/Dialect/NeptuneIR/NeptuneIROps.td:646-684) in
+communication-avoiding form: per outer block, ONE strip exchange builds a
+two-seed Krylov basis with the matrix-powers kernel, and ONE psum of the
+extended Gram matrix over W = [V, r̃0] covers every inner product of the s
+iterations — the shadow dots (r̃0, r)/(r̃0, v) are rows of the Gram against
+the carried shadow field, the stabilization dots (t,t)/(t,s) are
+coefficient-space quadratic forms. The s BiCGStab iterations then run
+replicated with no communication.
+
+Chain depths: BiCGStab applies Ã twice per iteration (v = Ãp̂, t = Ãŝ),
+and block entry must reconstruct the invariant v = Ã·p of the carried
+direction (one more application), so the chains run 2s+2 (p-seed) and
+2s+1 (r-seed) deep — m = 4s+3 basis vectors on a (2s+1)·reach-deep
+exchange. Communication per s iterations: 1 exchange + 1 psum, vs 2s
+exchanges + 4s psum rounds for per-iteration BiCGStab.
+
+Numerics follow `ca_cg`:
+  * Jacobi preconditioning as the split similarity transform Ã = S A S
+    (S = sqrt(inv_diag)) — valid for any invertible A.
+  * Residual replacement: every outer block reseeds the R-chain from the
+    TRUE residual b̃ - Ã x (it rides the same strip exchange as p).
+  * Honest reporting: convergence control rides the block-seed norm
+    G[r,r]; the in-block quadratic-form estimates only gate the inner
+    iterations, with guards on BiCGStab's classic breakdowns
+    (rho/denom/tt ≈ 0) that restart the direction and the shadow from
+    the residual; the final report spends one extra exchanged matvec so
+    `info.resnorm` is the true ||b̃ - Ã x|| of the returned x.
+
+No reference counterpart (the reference is single-process, SURVEY.md
+§2.8); the algorithm family is Carson's s-step BiCGStab.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+from jax import lax
+from jax import shard_map
+
+from ..ir.types import TempType
+from ..solvers.krylov import SolveInfo
+from .ca_cg import _basis_matrix
+from .mesh import GridMesh
+from .sharded_apply import (
+    _block_apply,
+    _fused_plan,
+    _gstart,
+    _run_band_fixups,
+    _single_apply,
+    _stitch_band,
+    _strip_exchange,
+)
+
+
+def bicgstab_sharded(
+    cm,
+    name: str,
+    gmesh: GridMesh,
+    *,
+    s: int = 2,
+    maxiter: int = 200,
+    tol: float = 1e-6,
+    inv_diag=None,
+    basis: str = "monomial",
+    lam_min: Optional[float] = None,
+    lam_max: Optional[float] = None,
+) -> Callable:
+    """Build a jittable communication-avoiding BiCGStab solve for A = @name.
+
+    Returns solve(b) -> (x, SolveInfo). A may be nonsymmetric. inv_diag,
+    if given, is the Jacobi preconditioner diagonal (positive, full-field,
+    sharded like b). basis="chebyshev" requires lam_min/lam_max bounding
+    the (real part of the) spectrum of Ã = S A S. Eligibility needs
+    (2s+1)·reach to fit one shard — prefer small s (the default s=2
+    already cuts exchange rounds ~4x and psum rounds ~8x vs per-iteration
+    BiCGStab's 4 dots + 2 exchanges per iteration).
+    """
+    if s < 1:
+        raise ValueError("s must be >= 1")
+    if basis not in ("monomial", "chebyshev"):
+        raise ValueError(f"unknown basis {basis!r}")
+    if basis == "chebyshev" and (lam_min is None or lam_max is None):
+        raise ValueError("basis='chebyshev' needs lam_min and lam_max")
+    fn = cm.module.lookup(name)
+    tt: TempType = fn.ftype.inputs[0]
+    rank = tt.bounds.rank
+    if len(fn.ftype.inputs) != 1 or len(fn.ftype.results) != 1:
+        raise ValueError("bicgstab_sharded needs a unary, single-result opdef")
+    op = _single_apply(fn)
+    if op is None:
+        raise ValueError("bicgstab_sharded needs a single-apply opdef body")
+    names = list(gmesh.axis_names[:rank]) + [None] * (
+        rank - len(gmesh.axis_names)
+    )
+    kdepth = 2 * s + 1
+    plan = _fused_plan(fn, op, gmesh, names, tt, sweeps_k=kdepth)
+    if plan is None:
+        raise ValueError(
+            f"@{name} is not eligible at s={s} "
+            "(non-constant scalars, or (2s+1)*reach exceeds a shard)"
+        )
+    need, scalar_vals, _ret_index, _arg_order = plan
+    spec = gmesh.pspec(rank)
+
+    out_type: TempType = op.results[0].type
+    outer = out_type.bounds
+    dtype = jnp.dtype(out_type.element)
+    periodic = bool(op.attrs.get("periodic"))
+
+    len_p, len_r = 2 * s + 2, 2 * s + 1
+    m = len_p + len_r  # 4s + 3
+    R0 = len_p  # coefficient index of the R-chain seed (the residual)
+    if basis == "chebyshev":
+        theta = 0.5 * (float(lam_max) + float(lam_min))  # python floats stay weak-typed (a np.float64 bound would promote f32 fields under x64)
+        delta = 0.5 * (float(lam_max) - float(lam_min))
+    else:
+        theta = delta = 0.0
+    Bmat = _basis_matrix((len_p, len_r), basis, theta, delta, dtype)
+
+    matvec_block = _block_apply(op, names, scalar_vals)
+
+    def global_fn(b):
+        def local_fn(bl, sl):
+            nloc = bl.shape
+            gstart = _gstart(nloc, rank, names, outer)
+
+            def Amv(v, S_blk, bases, shape):
+                u = v if S_blk is None else S_blk * v
+                w = matvec_block(u, bases, shape)
+                return w if S_blk is None else S_blk * w
+
+            def chains(x_blk, p_blk, bt_blk, S_blk, bases, shape):
+                """[p, Ãp, .., Ã^{2s+1} p, r, Ãr, .., Ã^{2s} r] with the
+                TRUE residual seed r = b̃ - Ã x."""
+
+                def chain(seed, length):
+                    vs = [seed]
+                    for j in range(length - 1):
+                        Av = Amv(vs[-1], S_blk, bases, shape)
+                        if basis == "monomial":
+                            vs.append(Av)
+                        elif j == 0:
+                            vs.append((Av - theta * vs[-1]) / delta)
+                        else:
+                            vs.append(
+                                2.0 * (Av - theta * vs[-1]) / delta - vs[-2]
+                            )
+                    return vs
+
+                r0 = bt_blk - Amv(x_blk, S_blk, bases, shape)
+                return chain(p_blk, len_p) + chain(r0, len_r)
+
+            S_loc = None if sl is None else jnp.sqrt(sl.astype(dtype))
+            btl = bl.astype(dtype) if S_loc is None else S_loc * bl
+            need_k = [(kdepth * lo, kdepth * hi) for lo, hi in need]
+            cfields = [btl] if S_loc is None else [btl, S_loc]
+            c_strips, c_ext, _ = _strip_exchange(
+                cfields, nloc, rank, names, need_k, periodic
+            )
+
+            def gsum(v):
+                for nm in names[:rank]:
+                    if nm:
+                        v = lax.psum(v, nm)
+                return v
+
+            b2 = gsum(jnp.sum(btl * btl))
+            target2 = jnp.asarray(tol * tol, dtype) * b2
+            one = jnp.asarray(1.0, dtype)
+
+            def outer_body(carry):
+                x, p, rhat, rho, alpha, omega, rr, it, stall, fresh = carry
+                strips, ext_slice, sharded_dims = _strip_exchange(
+                    [x, p], nloc, rank, names, need_k, periodic
+                )
+                V = chains(x, p, btl, S_loc, gstart, nloc)
+
+                def replay(bands, zone):
+                    bx, bp = (bb.astype(dtype) for bb in bands)
+                    bbt = _stitch_band(
+                        c_ext, c_strips, 0, zone.d, zone.side, zone.lo_n,
+                        zone.hi_n, nloc,
+                    ).astype(dtype)
+                    bS = (
+                        _stitch_band(
+                            c_ext, c_strips, 1, zone.d, zone.side,
+                            zone.lo_n, zone.hi_n, nloc,
+                        ).astype(dtype)
+                        if S_loc is not None
+                        else None
+                    )
+                    return chains(bx, bp, bbt, bS, zone.bases, bx.shape)
+
+                V = _run_band_fixups(
+                    V, 2, strips, ext_slice, sharded_dims, need_k, nloc,
+                    rank, gstart, replay,
+                )
+
+                # a fresh block (solve start / post-breakdown) re-pins the
+                # shadow to the block-seed residual and resets the scalars
+                rhat_eff = jnp.where(fresh, V[R0], rhat)
+                rho = jnp.where(fresh, one, rho)
+                alpha = jnp.where(fresh, one, alpha)
+                omega = jnp.where(fresh, one, omega)
+
+                # ---- one psum: extended Gram over [V, r̃0] ----
+                Ws = jnp.stack(
+                    [v.reshape(-1) for v in V] + [rhat_eff.reshape(-1)]
+                )
+                Gx = gsum(Ws @ Ws.T)
+                G_raw = Gx[:m, :m]
+                g_raw = Gx[m, :m]  # g[i] = (r̃0, V_i)
+
+                # Column normalization (zero extra communication): the
+                # monomial basis norms grow like lam^j over the 2s+2-deep
+                # chains, so raw-Gram quadratic forms lose ~log2(kappa(V)^2)
+                # bits and BiCGStab stagnates orders above tol. Work in the
+                # scaled basis V' = V·diag(1/||V_j||) (norms from the Gram
+                # diagonal): G' = D G D, g' = D g, B'[i,j] = B[i,j]·d_i/d_j,
+                # and coefficients map back as c = c'/||V_j||^-1 i.e.
+                # c = D c' at recovery.
+                dG = jnp.sqrt(jnp.clip(jnp.diag(G_raw), 0.0, None))
+                dsafe = jnp.where(dG > 0, dG, one)
+                G = G_raw / (dsafe[:, None] * dsafe[None, :])
+                g = g_raw / dsafe
+                Bs = Bmat * (dsafe[:, None] / dsafe[None, :])
+
+                # trustworthy block-seed norm: direct sum of squares of
+                # the true residual field (see ca_cg for why the in-block
+                # quadratic forms cannot be trusted near convergence)
+                rr_seed = G_raw[R0, R0]
+                block_on = rr_seed > target2
+
+                # ---- s BiCGStab iterations in (scaled) coefficient
+                # space: seeds carry the inverse scaling c' = dG ⊙ c ----
+                x_c = jnp.zeros((m,), dtype)
+                r_c = jnp.zeros((m,), dtype).at[R0].set(dsafe[R0])
+                p_c = jnp.zeros((m,), dtype).at[0].set(dsafe[0])
+                # invariant at block boundaries: v = Ã·p (v0 = Ã·0 = 0 at
+                # solve start; re-established by construction after every
+                # iteration and after restarts)
+                v_c = Bs @ p_c
+                rr_j = rr_seed
+                it_j = it
+                brk = jnp.logical_not(block_on)
+                for _ in range(s):
+                    active = (
+                        jnp.logical_not(brk)
+                        & (rr_j > target2)
+                        & (it_j < maxiter)
+                    )
+                    rho_new = jnp.sum(g * r_c)
+                    ok0 = (
+                        active & (rho_new != 0) & (rho != 0) & (omega != 0)
+                    )
+                    beta = jnp.where(
+                        ok0,
+                        (rho_new / jnp.where(rho == 0, one, rho))
+                        * (alpha / jnp.where(omega == 0, one, omega)),
+                        0.0,
+                    )
+                    p_new = r_c + beta * (p_c - omega * v_c)
+                    p_c = jnp.where(ok0, p_new, p_c)
+                    v_new = Bs @ p_c
+                    v_c = jnp.where(ok0, v_new, v_c)
+                    denom = jnp.sum(g * v_c)
+                    ok1 = ok0 & (denom != 0)
+                    alpha_n = jnp.where(
+                        ok1, rho_new / jnp.where(denom == 0, one, denom), 0.0
+                    )
+                    s_c = r_c - alpha_n * v_c
+                    t_c = Bs @ s_c
+                    tt = jnp.sum(t_c * (G @ t_c))
+                    ts = jnp.sum(t_c * (G @ s_c))
+                    ok2 = ok1 & (tt > 0)
+                    omega_n = jnp.where(
+                        ok2, ts / jnp.where(tt == 0, one, tt), 0.0
+                    )
+                    x_c = x_c + alpha_n * p_c + omega_n * s_c
+                    r_new = s_c - omega_n * t_c
+                    rr_new = jnp.sum(r_new * (G @ r_new))
+                    good = ok2 & (rr_new >= 0)
+                    brk = brk | (active & jnp.logical_not(good))
+                    r_c = jnp.where(good, r_new, r_c)
+                    rho = jnp.where(good, rho_new, rho)
+                    alpha = jnp.where(good, alpha_n, alpha)
+                    omega = jnp.where(good, omega_n, omega)
+                    rr_j = jnp.where(good, rr_new, rr_j)
+                    it_j = it_j + good.astype(jnp.int32)
+
+                # breakdown: restart the direction from the residual; the
+                # next block will also re-pin the shadow (fresh)
+                fresh_next = brk & block_on
+                p_c = jnp.where(fresh_next, r_c, p_c)
+
+                Vstack = jnp.stack(V)
+                # map scaled coefficients back: c = c'/||V_j||
+                x = x + jnp.tensordot(x_c / dsafe, Vstack, axes=1)
+                p = jnp.tensordot(p_c / dsafe, Vstack, axes=1)
+                made_progress = it_j > it
+                stall = jnp.where(
+                    block_on & jnp.logical_not(made_progress), stall + 1,
+                    jnp.int32(0),
+                )
+                rr_out = jnp.where(block_on, jnp.maximum(rr_j, 0.0), rr_seed)
+                return (
+                    x, p, rhat_eff, rho, alpha, omega, rr_out, it_j, stall,
+                    fresh_next,
+                )
+
+            def cond(carry):
+                _x, _p, _rh, _rho, _a, _w, rr, it, stall, _f = carry
+                return (it < maxiter) & (rr > target2) & (stall < 2)
+
+            x0 = jnp.zeros(nloc, dtype)
+            init = (
+                x0, jnp.zeros(nloc, dtype), jnp.zeros(nloc, dtype),
+                one, one, one, b2, jnp.int32(0), jnp.int32(0),
+                jnp.asarray(True),
+            )
+            x, p, rhat, rho, alpha, omega, rr, it, _stall, _f = (
+                lax.while_loop(cond, outer_body, init)
+            )
+
+            # ---- honest final report: one extra exchanged matvec ----
+            def true_rr(xf):
+                ts_, te_, td_ = _strip_exchange(
+                    [xf], nloc, rank, names, need_k, periodic
+                )
+                r_main = btl - Amv(xf, S_loc, gstart, nloc)
+
+                def rreplay(bands, zone):
+                    (bx,) = (bb.astype(dtype) for bb in bands)
+                    bbt = _stitch_band(
+                        c_ext, c_strips, 0, zone.d, zone.side, zone.lo_n,
+                        zone.hi_n, nloc,
+                    ).astype(dtype)
+                    bS = (
+                        _stitch_band(
+                            c_ext, c_strips, 1, zone.d, zone.side,
+                            zone.lo_n, zone.hi_n, nloc,
+                        ).astype(dtype)
+                        if S_loc is not None
+                        else None
+                    )
+                    return [bbt - Amv(bx, bS, zone.bases, bx.shape)]
+
+                (rf,) = _run_band_fixups(
+                    [r_main], 1, ts_, te_, td_, need_k, nloc, rank, gstart,
+                    rreplay,
+                )
+                return gsum(jnp.sum(rf * rf))
+
+            rr = true_rr(x)
+            if S_loc is not None:
+                x = S_loc * x
+            return x, rr, it, target2
+
+        has_id = inv_diag is not None
+        idl = inv_diag if has_id else jnp.zeros(())
+        x, rr, it, target2 = shard_map(
+            lambda bb, ii: local_fn(bb, ii if has_id else None),
+            mesh=gmesh.mesh,
+            in_specs=(spec, spec if has_id else gmesh.pspec(0)),
+            out_specs=(spec,) + (gmesh.pspec(0),) * 3,
+            check_vma=False,
+        )(b, idl)
+        info = SolveInfo(
+            iters=it,
+            resnorm=jnp.sqrt(rr),
+            converged=rr <= target2,
+        )
+        return x, info
+
+    return global_fn

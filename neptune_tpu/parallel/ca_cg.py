@@ -146,8 +146,8 @@ def cg_sharded(
 
     m = 2 * s + 1
     if basis == "chebyshev":
-        theta = 0.5 * (lam_max + lam_min)
-        delta = 0.5 * (lam_max - lam_min)
+        theta = 0.5 * (float(lam_max) + float(lam_min))  # python floats stay weak-typed (a np.float64 bound would promote f32 fields under x64)
+        delta = 0.5 * (float(lam_max) - float(lam_min))
     else:
         theta = delta = 0.0
     Bmat = _basis_matrix((s + 1, s), basis, theta, delta, dtype)

@@ -113,8 +113,8 @@ def chebyshev_sharded(
     # the seeding step counts as iteration 1 (as in solvers.chebyshev),
     # so the chunk loop covers the remaining maxiter-1 iterations
     n_chunks = -(-(maxiter - 1) // k_fuse)
-    theta = 0.5 * (lam_max + lam_min)
-    delta = 0.5 * (lam_max - lam_min)
+    theta = 0.5 * (float(lam_max) + float(lam_min))  # python floats stay weak-typed (a np.float64 bound would promote f32 fields under x64)
+    delta = 0.5 * (float(lam_max) - float(lam_min))
     sigma1 = theta / delta
 
     matvec_block = _block_apply(op, names, scalar_vals)

@@ -128,8 +128,8 @@ def gmres_sharded(
 
     m = s + 1
     if basis == "chebyshev":
-        theta = 0.5 * (lam_max + lam_min)
-        delta = 0.5 * (lam_max - lam_min)
+        theta = 0.5 * (float(lam_max) + float(lam_min))  # python floats stay weak-typed (a np.float64 bound would promote f32 fields under x64)
+        delta = 0.5 * (float(lam_max) - float(lam_min))
     else:
         theta = delta = 0.0
     Bred = _basis_matrix((m,), basis, theta, delta, dtype)[:, :s]  # m×s
