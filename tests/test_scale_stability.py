@@ -121,6 +121,49 @@ def test_cg_pinned_arithmetic_bitwise_across_meshes():
         config.pinned_arithmetic = False
 
 
+def test_pinned_wide_stencil_f32_apply_chain_bitwise():
+    """Pinned-mode coverage beyond the one CG config (round-3 review): an
+    f32 4th-order advection operator — mul-heavy body, h0 = 2 — applied 50
+    times under GSPMD must be BITWISE identical across mesh shapes. This
+    exercises the apply-body mul fence directly (it must be the
+    select-based _fma_fence; optimization_barrier is stripped by XLA)."""
+    from neptune_tpu.config import config
+
+    config.pinned_arithmetic = True
+    try:
+        ntp.reset_context()
+
+        @ntp.nonlinear_op_def(
+            bounds=([0, 0], [N, N]), interior=([2, 2], [N - 2, N - 2]),
+            dtype="float32",
+        )
+        def adv4(u):
+            dudx = (-u[2, 0] + 8.0 * u[1, 0] - 8.0 * u[-1, 0] + u[-2, 0]) / 12.0
+            dudy = (-u[0, 2] + 8.0 * u[0, 1] - 8.0 * u[0, -1] + u[0, -2]) / 12.0
+            return u[0, 0] - 0.1 * (0.7 * dudx + 0.3 * dudy)
+
+        cm = ntp.get_context().compiled()
+        x0 = np.asarray(_rhs(), np.float32)
+        outs = {}
+        for shape in PINNED_MESHES:
+            gm = GridMesh(shape)
+            mv = sharded_opdef(cm, "adv4", gm)
+
+            @jax.jit
+            def run(v, mv=mv):
+                return jax.lax.fori_loop(0, 50, lambda i, u: mv(u), v)
+
+            outs[shape] = np.asarray(run(gm.shard(jnp.asarray(x0))))
+        ref = outs[PINNED_MESHES[0]]
+        for shape in PINNED_MESHES[1:]:
+            assert np.array_equal(outs[shape], ref), (
+                f"mesh {shape}: pinned apply chain not bitwise identical; "
+                f"max |diff| = {np.abs(outs[shape] - ref).max():.3e}"
+            )
+    finally:
+        config.pinned_arithmetic = False
+
+
 def test_gmres_sharded_agrees_with_single_device():
     """GMRES (the reference's default KSP) through ravel-based reductions
     under sharding — VERDICT r1 flagged this path as CG-only-tested.
