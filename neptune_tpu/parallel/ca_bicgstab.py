@@ -45,16 +45,9 @@ from jax import shard_map
 from ..ir.types import TempType
 from ..solvers.krylov import SolveInfo
 from .ca_cg import _basis_matrix
+from .ca_common import MatrixPowers
 from .mesh import GridMesh
-from .sharded_apply import (
-    _block_apply,
-    _fused_plan,
-    _gstart,
-    _run_band_fixups,
-    _single_apply,
-    _stitch_band,
-    _strip_exchange,
-)
+from .sharded_apply import _block_apply, _fused_plan, _single_apply
 
 
 def bicgstab_sharded(
@@ -126,80 +119,27 @@ def bicgstab_sharded(
 
     def global_fn(b):
         def local_fn(bl, sl):
-            nloc = bl.shape
-            gstart = _gstart(nloc, rank, names, outer)
-
-            def Amv(v, S_blk, bases, shape):
-                u = v if S_blk is None else S_blk * v
-                w = matvec_block(u, bases, shape)
-                return w if S_blk is None else S_blk * w
-
-            def chains(x_blk, p_blk, bt_blk, S_blk, bases, shape):
-                """[p, Ãp, .., Ã^{2s+1} p, r, Ãr, .., Ã^{2s} r] with the
-                TRUE residual seed r = b̃ - Ã x."""
-
-                def chain(seed, length):
-                    vs = [seed]
-                    for j in range(length - 1):
-                        Av = Amv(vs[-1], S_blk, bases, shape)
-                        if basis == "monomial":
-                            vs.append(Av)
-                        elif j == 0:
-                            vs.append((Av - theta * vs[-1]) / delta)
-                        else:
-                            vs.append(
-                                2.0 * (Av - theta * vs[-1]) / delta - vs[-2]
-                            )
-                    return vs
-
-                r0 = bt_blk - Amv(x_blk, S_blk, bases, shape)
-                return chain(p_blk, len_p) + chain(r0, len_r)
-
-            S_loc = None if sl is None else jnp.sqrt(sl.astype(dtype))
-            btl = bl.astype(dtype) if S_loc is None else S_loc * bl
-            need_k = [(kdepth * lo, kdepth * hi) for lo, hi in need]
-            cfields = [btl] if S_loc is None else [btl, S_loc]
-            c_strips, c_ext, _ = _strip_exchange(
-                cfields, nloc, rank, names, need_k, periodic
+            # shared matrix-powers machinery (one exchange per block, core
+            # chains + trapezoid band replays, honest final matvec)
+            mp = MatrixPowers(
+                matvec_block=matvec_block, names=names, rank=rank,
+                outer=outer, dtype=dtype, periodic=periodic, basis=basis,
+                theta=theta, delta=delta,
+                need_k=[(kdepth * lo, kdepth * hi) for lo, hi in need],
+                bl=bl, sl=sl,
             )
+            nloc, gsum = mp.nloc, mp.gsum
 
-            def gsum(v):
-                for nm in names[:rank]:
-                    if nm:
-                        v = lax.psum(v, nm)
-                return v
-
-            b2 = gsum(jnp.sum(btl * btl))
+            b2 = gsum(jnp.sum(mp.btl * mp.btl))
             target2 = jnp.asarray(tol * tol, dtype) * b2
             one = jnp.asarray(1.0, dtype)
 
             def outer_body(carry):
                 x, p, rhat, rho, alpha, omega, rr, it, stall, fresh = carry
-                strips, ext_slice, sharded_dims = _strip_exchange(
-                    [x, p], nloc, rank, names, need_k, periodic
-                )
-                V = chains(x, p, btl, S_loc, gstart, nloc)
-
-                def replay(bands, zone):
-                    bx, bp = (bb.astype(dtype) for bb in bands)
-                    bbt = _stitch_band(
-                        c_ext, c_strips, 0, zone.d, zone.side, zone.lo_n,
-                        zone.hi_n, nloc,
-                    ).astype(dtype)
-                    bS = (
-                        _stitch_band(
-                            c_ext, c_strips, 1, zone.d, zone.side,
-                            zone.lo_n, zone.hi_n, nloc,
-                        ).astype(dtype)
-                        if S_loc is not None
-                        else None
-                    )
-                    return chains(bx, bp, bbt, bS, zone.bases, bx.shape)
-
-                V = _run_band_fixups(
-                    V, 2, strips, ext_slice, sharded_dims, need_k, nloc,
-                    rank, gstart, replay,
-                )
+                # one exchange: (2s+1)-deep strips of (x, p); basis =
+                # [p, Ãp, .., Ã^{2s+1} p, r, Ãr, .., Ã^{2s} r] with the
+                # TRUE residual seed r = b̃ - Ã x
+                V = mp.basis_with_replay([x, p], (len_p, len_r))
 
                 # a fresh block (solve start / post-breakdown) re-pins the
                 # shadow to the block-seed residual and resets the scalars
@@ -222,8 +162,9 @@ def bicgstab_sharded(
                 # bits and BiCGStab stagnates orders above tol. Work in the
                 # scaled basis V' = V·diag(1/||V_j||) (norms from the Gram
                 # diagonal): G' = D G D, g' = D g, B'[i,j] = B[i,j]·d_i/d_j,
-                # and coefficients map back as c = c'/||V_j||^-1 i.e.
-                # c = D c' at recovery.
+                # and scaled coefficients map back by DIVIDING by the
+                # column norms at recovery: c = c'/||V_j|| (the seeds below
+                # carry the inverse scaling c' = ||V_j||*c).
                 dG = jnp.sqrt(jnp.clip(jnp.diag(G_raw), 0.0, None))
                 dsafe = jnp.where(dG > 0, dG, one)
                 G = G_raw / (dsafe[:, None] * dsafe[None, :])
@@ -293,10 +234,15 @@ def bicgstab_sharded(
                     rr_j = jnp.where(good, rr_new, rr_j)
                     it_j = it_j + good.astype(jnp.int32)
 
-                # breakdown: restart the direction from the residual; the
-                # next block will also re-pin the shadow (fresh)
+                # breakdown: zero the direction — the next (fresh) block
+                # resets rho=alpha=omega=1 and its first beta-update then
+                # bootstraps p = r + beta*(0 - omega*0) = r EXACTLY, like
+                # the solve-start bootstrap. (Restarting with p_c = r_c
+                # instead would make that update p = r + ||r||^2*(...) —
+                # a direction dominated by the stale residual whenever
+                # ||r|| is far from 1.)
                 fresh_next = brk & block_on
-                p_c = jnp.where(fresh_next, r_c, p_c)
+                p_c = jnp.where(fresh_next, jnp.zeros_like(p_c), p_c)
 
                 Vstack = jnp.stack(V)
                 # map scaled coefficients back: c = c'/||V_j||
@@ -327,38 +273,10 @@ def bicgstab_sharded(
                 lax.while_loop(cond, outer_body, init)
             )
 
-            # ---- honest final report: one extra exchanged matvec ----
-            def true_rr(xf):
-                ts_, te_, td_ = _strip_exchange(
-                    [xf], nloc, rank, names, need_k, periodic
-                )
-                r_main = btl - Amv(xf, S_loc, gstart, nloc)
-
-                def rreplay(bands, zone):
-                    (bx,) = (bb.astype(dtype) for bb in bands)
-                    bbt = _stitch_band(
-                        c_ext, c_strips, 0, zone.d, zone.side, zone.lo_n,
-                        zone.hi_n, nloc,
-                    ).astype(dtype)
-                    bS = (
-                        _stitch_band(
-                            c_ext, c_strips, 1, zone.d, zone.side,
-                            zone.lo_n, zone.hi_n, nloc,
-                        ).astype(dtype)
-                        if S_loc is not None
-                        else None
-                    )
-                    return [bbt - Amv(bx, bS, zone.bases, bx.shape)]
-
-                (rf,) = _run_band_fixups(
-                    [r_main], 1, ts_, te_, td_, need_k, nloc, rank, gstart,
-                    rreplay,
-                )
-                return gsum(jnp.sum(rf * rf))
-
-            rr = true_rr(x)
-            if S_loc is not None:
-                x = S_loc * x
+            # honest final report: one extra exchanged matvec
+            rr = mp.true_rr(x)
+            if mp.S_loc is not None:
+                x = mp.S_loc * x
             return x, rr, it, target2
 
         has_id = inv_diag is not None

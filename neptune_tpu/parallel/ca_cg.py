@@ -49,16 +49,9 @@ from jax import shard_map
 
 from ..ir.types import TempType
 from ..solvers.krylov import SolveInfo
+from .ca_common import MatrixPowers
 from .mesh import GridMesh
-from .sharded_apply import (
-    _block_apply,
-    _fused_plan,
-    _gstart,
-    _run_band_fixups,
-    _single_apply,
-    _stitch_band,
-    _strip_exchange,
-)
+from .sharded_apply import _block_apply, _fused_plan, _single_apply
 
 
 def _basis_matrix(lengths, basis: str, theta, delta, dtype):
@@ -156,87 +149,26 @@ def cg_sharded(
 
     def global_fn(b):
         def local_fn(bl, sl):
-            nloc = bl.shape
-            gstart = _gstart(nloc, rank, names, outer)
-
-            def Amv(v, S_blk, bases, shape):
-                """Ã v = S * A(S * v) (S=None: plain A)."""
-                u = v if S_blk is None else S_blk * v
-                w = matvec_block(u, bases, shape)
-                return w if S_blk is None else S_blk * w
-
-            def chains(x_blk, p_blk, bt_blk, S_blk, bases, shape):
-                """Matrix-powers kernel on a block: the 2s+1 basis vectors
-                [p, Ãp, .., Ã^s p, r, Ãr, .., Ã^{s-1} r] with the TRUE
-                residual seed r = b̃ - Ã x (residual replacement)."""
-
-                def chain(seed, length):
-                    vs = [seed]
-                    for j in range(length - 1):
-                        Av = Amv(vs[-1], S_blk, bases, shape)
-                        if basis == "monomial":
-                            vs.append(Av)
-                        elif j == 0:
-                            vs.append((Av - theta * vs[-1]) / delta)
-                        else:
-                            vs.append(
-                                2.0 * (Av - theta * vs[-1]) / delta - vs[-2]
-                            )
-                    return vs
-
-                r0 = bt_blk - Amv(x_blk, S_blk, bases, shape)
-                return chain(p_blk, s + 1) + chain(r0, s)
-
-            # ---- constants: b̃ = S b, its strips, and S's strips (both
-            # iteration-constant: exchanged ONCE, outside the while loop —
-            # XLA cannot hoist collectives out of the loop body) ----
-            S_loc = None if sl is None else jnp.sqrt(sl.astype(dtype))
-            btl = bl.astype(dtype) if S_loc is None else S_loc * bl
-            need_k = [(s * lo, s * hi) for lo, hi in need]
-            cfields = [btl] if S_loc is None else [btl, S_loc]
-            c_strips, c_ext, _ = _strip_exchange(
-                cfields, nloc, rank, names, need_k, periodic
+            # shared matrix-powers machinery (one exchange per block, core
+            # chains + trapezoid band replays, honest final matvec)
+            mp = MatrixPowers(
+                matvec_block=matvec_block, names=names, rank=rank,
+                outer=outer, dtype=dtype, periodic=periodic, basis=basis,
+                theta=theta, delta=delta,
+                need_k=[(s * lo, s * hi) for lo, hi in need],
+                bl=bl, sl=sl,
             )
+            nloc, gsum = mp.nloc, mp.gsum
 
-            def gsum(v):
-                for nm in names[:rank]:
-                    if nm:
-                        v = lax.psum(v, nm)
-                return v
-
-            b2 = gsum(jnp.sum(btl * btl))
+            b2 = gsum(jnp.sum(mp.btl * mp.btl))
             target2 = jnp.asarray(tol * tol, dtype) * b2
 
             def outer_body(carry):
                 x, p, rr, it, stall = carry
-                # ---- one exchange: s-deep strips of (x, p) ----
-                strips, ext_slice, sharded_dims = _strip_exchange(
-                    [x, p], nloc, rank, names, need_k, periodic
-                )
-                # main chains on the core block
-                V = chains(x, p, btl, S_loc, gstart, nloc)
-
-                # band fixups: replay the chains on strip-stitched bands
-                def replay(bands, zone):
-                    bx, bp = (bb.astype(dtype) for bb in bands)
-                    bbt = _stitch_band(
-                        c_ext, c_strips, 0, zone.d, zone.side, zone.lo_n,
-                        zone.hi_n, nloc,
-                    ).astype(dtype)
-                    bS = (
-                        _stitch_band(
-                            c_ext, c_strips, 1, zone.d, zone.side,
-                            zone.lo_n, zone.hi_n, nloc,
-                        ).astype(dtype)
-                        if S_loc is not None
-                        else None
-                    )
-                    return chains(bx, bp, bbt, bS, zone.bases, bx.shape)
-
-                V = _run_band_fixups(
-                    V, 2, strips, ext_slice, sharded_dims, need_k, nloc,
-                    rank, gstart, replay,
-                )
+                # ---- one exchange: s-deep strips of (x, p); basis =
+                # [p, Ãp, .., Ã^s p, r, Ãr, .., Ã^{s-1} r] with the TRUE
+                # residual seed r = b̃ - Ã x (residual replacement) ----
+                V = mp.basis_with_replay([x, p], (s + 1, s))
 
                 # ---- one psum: the Gram matrix ----
                 Vs = jnp.stack([v.reshape(-1) for v in V])
@@ -311,44 +243,16 @@ def cg_sharded(
             x0 = jnp.zeros(nloc, dtype)
             x, p, rr, it, _stall = lax.while_loop(
                 cond, outer_body,
-                (x0, btl, b2, jnp.int32(0), jnp.int32(0)),
+                (x0, mp.btl, b2, jnp.int32(0), jnp.int32(0)),
             )
 
-            # ---- honest final report: ONE extra exchanged matvec gives the
+            # honest final report: ONE extra exchanged matvec gives the
             # true preconditioned residual of the returned x (the in-block
-            # Gram estimates cannot resolve below ~sqrt(eps)) ----
-            def true_rr(xf):
-                ts, te, td = _strip_exchange(
-                    [xf], nloc, rank, names, need_k, periodic
-                )
-                r_main = btl - Amv(xf, S_loc, gstart, nloc)
-
-                def rreplay(bands, zone):
-                    (bx,) = (bb.astype(dtype) for bb in bands)
-                    bbt = _stitch_band(
-                        c_ext, c_strips, 0, zone.d, zone.side, zone.lo_n,
-                        zone.hi_n, nloc,
-                    ).astype(dtype)
-                    bS = (
-                        _stitch_band(
-                            c_ext, c_strips, 1, zone.d, zone.side,
-                            zone.lo_n, zone.hi_n, nloc,
-                        ).astype(dtype)
-                        if S_loc is not None
-                        else None
-                    )
-                    return [bbt - Amv(bx, bS, zone.bases, bx.shape)]
-
-                (rf,) = _run_band_fixups(
-                    [r_main], 1, ts, te, td, need_k, nloc, rank, gstart,
-                    rreplay,
-                )
-                return gsum(jnp.sum(rf * rf))
-
-            rr = true_rr(x)
+            # Gram estimates cannot resolve below ~sqrt(eps))
+            rr = mp.true_rr(x)
             # un-transform: x = S y
-            if S_loc is not None:
-                x = S_loc * x
+            if mp.S_loc is not None:
+                x = mp.S_loc * x
             return x, rr, it, target2
 
         has_id = inv_diag is not None

@@ -61,16 +61,9 @@ from jax import shard_map
 from ..ir.types import TempType
 from ..solvers.krylov import SolveInfo
 from .ca_cg import _basis_matrix
+from .ca_common import MatrixPowers
 from .mesh import GridMesh
-from .sharded_apply import (
-    _block_apply,
-    _fused_plan,
-    _gstart,
-    _run_band_fixups,
-    _single_apply,
-    _stitch_band,
-    _strip_exchange,
-)
+from .sharded_apply import _block_apply, _fused_plan, _single_apply
 
 
 def gmres_sharded(
@@ -138,77 +131,25 @@ def gmres_sharded(
 
     def global_fn(b):
         def local_fn(bl, sl):
-            nloc = bl.shape
-            gstart = _gstart(nloc, rank, names, outer)
-
-            def Amv(v, S_blk, bases, shape):
-                """Ã v = S * A(S * v) (S=None: plain A)."""
-                u = v if S_blk is None else S_blk * v
-                w = matvec_block(u, bases, shape)
-                return w if S_blk is None else S_blk * w
-
-            def chains(x_blk, bt_blk, S_blk, bases, shape):
-                """Matrix-powers kernel on a block: [r, Ãr, .., Ã^s r] with
-                the TRUE residual seed r = b̃ - Ã x."""
-                r0 = bt_blk - Amv(x_blk, S_blk, bases, shape)
-                vs = [r0]
-                for j in range(s):
-                    Av = Amv(vs[-1], S_blk, bases, shape)
-                    if basis == "monomial":
-                        vs.append(Av)
-                    elif j == 0:
-                        vs.append((Av - theta * vs[-1]) / delta)
-                    else:
-                        vs.append(2.0 * (Av - theta * vs[-1]) / delta - vs[-2])
-                return vs
-
-            # ---- constants: b̃ = S b and S strips (iteration-constant,
-            # exchanged ONCE outside the while loop) ----
-            S_loc = None if sl is None else jnp.sqrt(sl.astype(dtype))
-            btl = bl.astype(dtype) if S_loc is None else S_loc * bl
-            need_k = [((s + 1) * lo, (s + 1) * hi) for lo, hi in need]
-            cfields = [btl] if S_loc is None else [btl, S_loc]
-            c_strips, c_ext, _ = _strip_exchange(
-                cfields, nloc, rank, names, need_k, periodic
+            # shared matrix-powers machinery (one exchange per cycle, core
+            # chain + trapezoid band replays, honest final matvec)
+            mp = MatrixPowers(
+                matvec_block=matvec_block, names=names, rank=rank,
+                outer=outer, dtype=dtype, periodic=periodic, basis=basis,
+                theta=theta, delta=delta,
+                need_k=[((s + 1) * lo, (s + 1) * hi) for lo, hi in need],
+                bl=bl, sl=sl,
             )
+            nloc, gsum = mp.nloc, mp.gsum
 
-            def gsum(v):
-                for nm in names[:rank]:
-                    if nm:
-                        v = lax.psum(v, nm)
-                return v
-
-            b2 = gsum(jnp.sum(btl * btl))
+            b2 = gsum(jnp.sum(mp.btl * mp.btl))
             target2 = jnp.asarray(tol * tol, dtype) * b2
 
             def outer_body(carry):
                 x, rr_prev, it, done, stall = carry
-                # ---- one exchange: (s+1)-deep strips of x ----
-                strips, ext_slice, sharded_dims = _strip_exchange(
-                    [x], nloc, rank, names, need_k, periodic
-                )
-                V = chains(x, btl, S_loc, gstart, nloc)
-
-                def replay(bands, zone):
-                    bx = bands[0].astype(dtype)
-                    bbt = _stitch_band(
-                        c_ext, c_strips, 0, zone.d, zone.side, zone.lo_n,
-                        zone.hi_n, nloc,
-                    ).astype(dtype)
-                    bS = (
-                        _stitch_band(
-                            c_ext, c_strips, 1, zone.d, zone.side,
-                            zone.lo_n, zone.hi_n, nloc,
-                        ).astype(dtype)
-                        if S_loc is not None
-                        else None
-                    )
-                    return chains(bx, bbt, bS, zone.bases, bx.shape)
-
-                V = _run_band_fixups(
-                    V, 1, strips, ext_slice, sharded_dims, need_k, nloc,
-                    rank, gstart, replay,
-                )
+                # ---- one exchange: (s+1)-deep strips of x; basis =
+                # [r, Ãr, .., Ã^s r], r = b̃ - Ã x (the TRUE residual) ----
+                V = mp.basis_with_replay([x], (s + 1,))
 
                 # ---- one psum: the Gram matrix ----
                 Vs = jnp.stack([v.reshape(-1) for v in V])
@@ -261,38 +202,10 @@ def gmres_sharded(
             # ---- honest final report: when the loop exited mid-cycle
             # (maxiter/stall), rr is the seed of the PREVIOUS x; one extra
             # exchanged matvec reports the returned x's true residual ----
-            def true_rr(xf):
-                ts, te, td = _strip_exchange(
-                    [xf], nloc, rank, names, need_k, periodic
-                )
-                r_main = btl - Amv(xf, S_loc, gstart, nloc)
-
-                def rreplay(bands, zone):
-                    (bx,) = (bb.astype(dtype) for bb in bands)
-                    bbt = _stitch_band(
-                        c_ext, c_strips, 0, zone.d, zone.side, zone.lo_n,
-                        zone.hi_n, nloc,
-                    ).astype(dtype)
-                    bS = (
-                        _stitch_band(
-                            c_ext, c_strips, 1, zone.d, zone.side,
-                            zone.lo_n, zone.hi_n, nloc,
-                        ).astype(dtype)
-                        if S_loc is not None
-                        else None
-                    )
-                    return [bbt - Amv(bx, bS, zone.bases, bx.shape)]
-
-                (rf,) = _run_band_fixups(
-                    [r_main], 1, ts, te, td, need_k, nloc, rank, gstart,
-                    rreplay,
-                )
-                return gsum(jnp.sum(rf * rf))
-
-            rr = jnp.where(done, rr, true_rr(x))
+            rr = jnp.where(done, rr, mp.true_rr(x))
             # un-transform: x = S y
-            if S_loc is not None:
-                x = S_loc * x
+            if mp.S_loc is not None:
+                x = mp.S_loc * x
             return x, rr, it, target2
 
         has_id = inv_diag is not None

@@ -162,6 +162,56 @@ class TestCABiCGStab:
             assert true <= 4e-6 * bn * 1.5, (s, true / bn)
             assert abs(rep - true) <= 0.25 * true + 1e-6 * bn, (s, rep, true)
 
+    def test_chebyshev_basis_solve(self):
+        """The chebyshev two-chain basis (scaled Bs path) must solve, not
+        just validate its arguments."""
+        n = 64
+        cm = make_advdiff(n)
+        gm = GridMesh((4, 2), ("x", "y"))
+        b = rhs_2d(n, seed=7)
+        bs = gm.shard(jnp.asarray(b))
+        mv = jax.jit(shardmap_opdef(cm, "advdiff", gm))
+        bn = float(np.linalg.norm(b))
+        x, info = jax.jit(
+            bicgstab_sharded(
+                cm, "advdiff", gm, s=2, maxiter=400, tol=1e-9,
+                basis="chebyshev", lam_min=0.05, lam_max=8.6,
+            )
+        )(bs)
+        true = float(jnp.linalg.norm(bs - mv(x)))
+        assert bool(info.converged), float(info.resnorm) / bn
+        assert true <= 1e-9 * bn * 1.5, true / bn
+
+    def test_skew_breakdown_honest(self):
+        """A skew-dominant operator hits BiCGStab's (r̃, Ã r̃) = 0 breakdown
+        on the very first iteration. The guarded loop must not NaN: the
+        restart path zeroes the direction, the stall counter stops the
+        outer loop, and the result is an HONEST converged=False with the
+        true residual — never a poisoned x or a false success."""
+        n = 64
+
+        @ntp.linear_op_def(
+            bounds=([0, 0], [n, n]), interior=([1, 1], [n - 1, n - 1]),
+            name="skew",
+        )
+        def skew(u):
+            return u[1, 0] - u[-1, 0] + u[0, 1] - u[0, -1]
+
+        cm = ntp.get_context().compiled()
+        gm = GridMesh((4, 2), ("x", "y"))
+        b = rhs_2d(n, seed=11)
+        bs = gm.shard(jnp.asarray(b))
+        mv = jax.jit(shardmap_opdef(cm, "skew", gm))
+        x, info = jax.jit(
+            bicgstab_sharded(cm, "skew", gm, s=2, maxiter=100, tol=1e-8)
+        )(bs)
+        rep = float(info.resnorm)
+        true = float(jnp.linalg.norm(bs - mv(x)))
+        assert np.isfinite(rep), rep
+        assert not bool(info.converged)
+        assert np.isfinite(np.asarray(x)).all()
+        assert abs(rep - true) <= 0.25 * true + 1e-12, (rep, true)
+
     def test_eligibility_errors(self):
         n = 64
         cm = make_advdiff(n)
