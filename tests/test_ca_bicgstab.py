@@ -212,6 +212,41 @@ class TestCABiCGStab:
         assert np.isfinite(np.asarray(x)).all()
         assert abs(rep - true) <= 0.25 * true + 1e-12, (rep, true)
 
+    def test_rank3(self):
+        # 3-D nonsymmetric advection-diffusion on a 2x2x2 mesh: the
+        # two-seed (x, p) chains must replay bands along all three sharded
+        # dims, including overlapping edge/corner zones
+        m = 32
+        c = 0.3
+
+        @ntp.linear_op_def(
+            bounds=([0, 0, 0], [m, m, m]),
+            interior=([1, 1, 1], [m - 1, m - 1, m - 1]),
+        )
+        def advdiff3(u):
+            return (
+                (6.0 + c) * u[0, 0, 0]
+                - (1.0 + c) * u[-1, 0, 0] - u[1, 0, 0]
+                - u[0, -1, 0] - u[0, 1, 0]
+                - u[0, 0, -1] - u[0, 0, 1]
+            )
+
+        cm = ntp.get_context().compiled()
+        gm = GridMesh((2, 2, 2), ("x", "y", "z"), devices=jax.devices()[:8])
+        b = np.zeros((m, m, m))
+        b[1:-1, 1:-1, 1:-1] = np.random.default_rng(6).standard_normal(
+            (m - 2, m - 2, m - 2)
+        )
+        bs = gm.shard(jnp.asarray(b))
+        bn = float(np.linalg.norm(b))
+        mv = jax.jit(shardmap_opdef(cm, "advdiff3", gm))
+        x, info = jax.jit(
+            bicgstab_sharded(cm, "advdiff3", gm, s=2, maxiter=200, tol=1e-9)
+        )(bs)
+        true = float(jnp.linalg.norm(bs - mv(x)))
+        assert bool(info.converged), float(info.resnorm) / bn
+        assert true <= 1e-9 * bn * 1.5, true / bn
+
     def test_eligibility_errors(self):
         n = 64
         cm = make_advdiff(n)

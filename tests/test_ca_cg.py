@@ -132,6 +132,36 @@ class TestCACG:
         x_pi, _ = cg(mv, jnp.asarray(b), tol=0.0, maxiter=36)
         assert np.abs(np.asarray(x_ca) - np.asarray(x_pi)).max() < 1e-10
 
+    def test_rank3(self):
+        # 3-D 7-pt Poisson on a 2x2x2 mesh: the matrix-powers kernel must
+        # replay trapezoid bands along all three sharded dims (incl. the
+        # edge/corner zones where bands of different dims overlap)
+        m = 32
+
+        @ntp.linear_op_def(
+            bounds=([0, 0, 0], [m, m, m]),
+            interior=([1, 1, 1], [m - 1, m - 1, m - 1]),
+        )
+        def lap3d(u):
+            return (
+                6.0 * u[0, 0, 0]
+                - u[-1, 0, 0] - u[1, 0, 0]
+                - u[0, -1, 0] - u[0, 1, 0]
+                - u[0, 0, -1] - u[0, 0, 1]
+            )
+
+        cm = ntp.get_context().compiled()
+        gm = GridMesh((2, 2, 2), ("x", "y", "z"), devices=jax.devices()[:8])
+        b = np.zeros((m, m, m))
+        b[1:-1, 1:-1, 1:-1] = np.random.default_rng(5).standard_normal(
+            (m - 2, m - 2, m - 2)
+        )
+        solve = jax.jit(cg_sharded(cm, "lap3d", gm, s=4, maxiter=40, tol=0.0))
+        x_ca, _ = solve(gm.shard(jnp.asarray(b)))
+        mv = shardmap_opdef(cm, "lap3d", gm)
+        x_pi, _ = cg(mv, jnp.asarray(b), tol=0.0, maxiter=40)
+        assert np.abs(np.asarray(x_ca) - np.asarray(x_pi)).max() < 1e-9
+
     def test_communication_structure(self):
         # one concurrent strip-exchange round (2 fields) + ONE Gram psum
         # per s iterations vs s exchanges + 2s+ psums for per-iteration CG
