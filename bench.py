@@ -140,6 +140,44 @@ def make_composite_2d(n, dtype="float32"):
     return ctx.compiled()
 
 
+
+def _ca_poisson_256(name="lap_cacg"):
+    """The 256^2 f32 Poisson problem every CA-solver bench entry uses:
+    (compiled module, rhs ndarray, lam_min, lam_max)."""
+    import neptune_tpu as ntp
+
+    nc = 256
+    ntp.reset_context()
+
+    @ntp.linear_op_def(
+        bounds=([0, 0], [nc, nc]),
+        interior=([1, 1], [nc - 1, nc - 1]),
+        dtype="float32",
+        name=name,
+    )
+    def lap(u):
+        return 4.0 * u[0, 0] - u[-1, 0] - u[1, 0] - u[0, -1] - u[0, 1]
+
+    rng = np.random.default_rng(0)
+    bb = np.zeros((nc, nc), np.float32)
+    bb[1:-1, 1:-1] = rng.standard_normal((nc - 2, nc - 2))
+    lmin = 2.0 * (2.0 - 2.0 * np.cos(np.pi / (nc + 1)))
+    return ntp.get_context().compiled(), bb, lmin, 8.0
+
+
+def _timed_ca_solve(solve, bs):
+    """Warm (compile) + timed run of a jitted sharded solve; completion
+    forced by a checksum fetch. Returns (info, seconds)."""
+    import jax.numpy as jnp
+
+    xs, info = solve(bs)
+    _ = float(jnp.sum(xs))
+    t0 = time.perf_counter()
+    xs, info = solve(bs)
+    _ = float(jnp.sum(xs))
+    return info, time.perf_counter() - t0
+
+
 def headline():
     import jax
     import jax.numpy as jnp
@@ -396,22 +434,7 @@ def full_suite(results=None):
     # iterations per exchange, one psum at the end (s-step/CA-Krylov)
     from neptune_tpu.parallel import chebyshev_sharded
 
-    nc = 256
-    ntp.reset_context()
-
-    @ntp.linear_op_def(
-        bounds=([0, 0], [nc, nc]),
-        interior=([1, 1], [nc - 1, nc - 1]),
-        dtype="float32",
-        name="lap_ca",
-    )
-    def lap_ca(u):
-        return 4.0 * u[0, 0] - u[-1, 0] - u[1, 0] - u[0, -1] - u[0, 1]
-
-    cmc = ntp.get_context().compiled()
-    lmin = 2.0 * (2.0 - 2.0 * np.cos(np.pi / (nc + 1)))
-    bb = np.zeros((nc, nc), np.float32)
-    bb[1:-1, 1:-1] = rng.standard_normal((nc - 2, nc - 2))
+    cmc, bb, lmin, _lmax = _ca_poisson_256("lap_ca")
     bbs = gm.shard(jnp.asarray(bb))
     solve = jax.jit(
         chebyshev_sharded(
@@ -419,12 +442,7 @@ def full_suite(results=None):
             k_fuse=8, maxiter=3200, tol=1e-4,
         )
     )
-    xs, info = solve(bbs)
-    _ = float(jnp.sum(xs))
-    t0 = time.perf_counter()
-    xs, info = solve(bbs)
-    _ = float(jnp.sum(xs))
-    dt = time.perf_counter() - t0
+    info, dt = _timed_ca_solve(solve, bbs)
     results["ca_chebyshev_256_k8"] = {
         "iters": int(info.iters),
         "sec_per_solve": dt,
@@ -457,21 +475,7 @@ def full_suite(results=None):
     from neptune_tpu.parallel import cg_sharded, gmres_sharded
 
     nc, s_steps = 256, 8
-    ntp.reset_context()
-
-    @ntp.linear_op_def(
-        bounds=([0, 0], [nc, nc]),
-        interior=([1, 1], [nc - 1, nc - 1]),
-        dtype="float32",
-        name="lap_cacg",
-    )
-    def lap_cacg(u):
-        return 4.0 * u[0, 0] - u[-1, 0] - u[1, 0] - u[0, -1] - u[0, 1]
-
-    cmc = ntp.get_context().compiled()
-    bb = np.zeros((nc, nc), np.float32)
-    bb[1:-1, 1:-1] = rng.standard_normal((nc - 2, nc - 2))
-    lmin = 2.0 * (2.0 - 2.0 * np.cos(np.pi / (nc + 1)))
+    cmc, bb, lmin, _lmax = _ca_poisson_256()
     bbs = gm.shard(jnp.asarray(bb))
     solve = jax.jit(
         cg_sharded(
@@ -479,12 +483,7 @@ def full_suite(results=None):
             basis="chebyshev", lam_min=lmin, lam_max=8.0,
         )
     )
-    xs, info = solve(bbs)
-    _ = float(jnp.sum(xs))
-    t0 = time.perf_counter()
-    xs, info = solve(bbs)
-    _ = float(jnp.sum(xs))
-    dt = time.perf_counter() - t0
+    info, dt = _timed_ca_solve(solve, bbs)
     results["ca_cg_256_s8"] = {
         "iters": int(info.iters),
         "sec_per_solve": dt,
@@ -502,12 +501,7 @@ def full_suite(results=None):
             basis="chebyshev", lam_min=lmin, lam_max=8.0,
         )
     )
-    xs, info = solve(bbs)
-    _ = float(jnp.sum(xs))
-    t0 = time.perf_counter()
-    xs, info = solve(bbs)
-    _ = float(jnp.sum(xs))
-    dt = time.perf_counter() - t0
+    info, dt = _timed_ca_solve(solve, bbs)
     results["ca_gmres_256_s8"] = {
         "iters": int(info.iters),
         "sec_per_solve": dt,
@@ -524,12 +518,7 @@ def full_suite(results=None):
     solve = jax.jit(
         bicgstab_sharded(cmc, "lap_cacg", gm, s=2, maxiter=2000, tol=1e-4)
     )
-    xs, info = solve(bbs)
-    _ = float(jnp.sum(xs))
-    t0 = time.perf_counter()
-    xs, info = solve(bbs)
-    _ = float(jnp.sum(xs))
-    dt = time.perf_counter() - t0
+    info, dt = _timed_ca_solve(solve, bbs)
     results["ca_bicgstab_256_s2"] = {
         "iters": int(info.iters),
         "sec_per_solve": dt,
@@ -861,21 +850,7 @@ def core_table():
     from neptune_tpu.parallel import cg_sharded
 
     nc, s_steps = 256, 8
-    ntp.reset_context()
-
-    @ntp.linear_op_def(
-        bounds=([0, 0], [nc, nc]),
-        interior=([1, 1], [nc - 1, nc - 1]),
-        dtype="float32",
-        name="lap_cacg",
-    )
-    def lap_cacg(u):
-        return 4.0 * u[0, 0] - u[-1, 0] - u[1, 0] - u[0, -1] - u[0, 1]
-
-    cmc = ntp.get_context().compiled()
-    bb = np.zeros((nc, nc), np.float32)
-    bb[1:-1, 1:-1] = rng.standard_normal((nc - 2, nc - 2))
-    lmin = 2.0 * (2.0 - 2.0 * np.cos(np.pi / (nc + 1)))
+    cmc, bb, lmin, _lmax = _ca_poisson_256()
     bbs = gm.shard(jnp.asarray(bb))
     solve = jax.jit(
         cg_sharded(
@@ -883,12 +858,7 @@ def core_table():
             basis="chebyshev", lam_min=lmin, lam_max=8.0,
         )
     )
-    xs, info = solve(bbs)
-    _ = float(jnp.sum(xs))
-    t0 = time.perf_counter()
-    xs, info = solve(bbs)
-    _ = float(jnp.sum(xs))
-    dt = time.perf_counter() - t0
+    info, dt = _timed_ca_solve(solve, bbs)
     lines.append({
         "metric": f"CA-CG iters/sec (256^2 Poisson f32, s={s_steps}, tol 1e-4)",
         "value": round(int(info.iters) / dt, 0),

@@ -128,13 +128,20 @@ def eval_scalar_dag(
     access_fn,
     index_fn,
     scalar_args: Sequence,
+    pinned: bool | None = None,
 ) -> list:
     """Evaluate an apply region's scalar DAG vectorized, with pluggable
     access/index resolution (shared between the jnp and Pallas backends).
 
     access_fn(input_index, offset) -> array of the accessed neighbor values
     index_fn(dim) -> array of logical coordinates along `dim`
+    pinned: apply the reproducibility FMA fence to apply-body multiplies.
+    None (the jnp/GSPMD path) follows `config.pinned_arithmetic`; the
+    Pallas and shard_map fused callers pass False — they are performance
+    paths and keep default arithmetic by design (`config.py`).
     """
+    if pinned is None:
+        pinned = config.pinned_arithmetic
     env: dict[int, object] = {}
     arg_of_input: dict[int, int] = {}
 
@@ -168,7 +175,7 @@ def eval_scalar_dag(
         elif op.name in _BINOPS:
             a, b = (lookup(o) for o in op.operands)
             r = _BINOPS[op.name](a, b)
-            if op.name == "arith.mul" and config.pinned_arithmetic:
+            if op.name == "arith.mul" and pinned:
                 # reproducibility fence: keep the product out of any FMA —
                 # contraction placement depends on the local tile shape,
                 # which is what breaks cross-mesh-shape bitwise identity.

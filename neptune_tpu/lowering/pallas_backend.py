@@ -225,7 +225,7 @@ def _execute(op: Operation, operand_arrays, *, interpret: bool):
 
         scalar_vals = [r[0, 0] for r in scalar_refs]
         yields = jnp_backend.eval_scalar_dag(
-            body, rank, n_in, access_fn, index_fn, scalar_vals
+            body, rank, n_in, access_fn, index_fn, scalar_vals, pinned=False
         )
 
         if full_domain:
@@ -582,7 +582,7 @@ def _execute_dma_rank3(op: Operation, operand_arrays, *, interpret: bool):
 
         scalar_vals = [r[0, 0] for r in scalar_refs]
         yields = jnp_backend.eval_scalar_dag(
-            body, rank, n_in, access_fn, index_fn, scalar_vals
+            body, rank, n_in, access_fn, index_fn, scalar_vals, pinned=False
         )
 
         blk = (slab,) + kshape[1:]
@@ -829,7 +829,7 @@ def _execute_dma_rank2(op: Operation, operand_arrays, *, interpret: bool):
 
         scalar_vals = [r[0, 0] for r in scalar_refs]
         yields = jnp_backend.eval_scalar_dag(
-            body, rank, n_in, access_fn, index_fn, scalar_vals
+            body, rank, n_in, access_fn, index_fn, scalar_vals, pinned=False
         )
 
         mask = None
@@ -978,7 +978,7 @@ def execute_apply_window(
 
         scalar_vals = [r[0, 0] for r in scalar_refs]
         yields = jnp_backend.eval_scalar_dag(
-            body, rank, n_in, access_fn, index_fn, scalar_vals
+            body, rank, n_in, access_fn, index_fn, scalar_vals, pinned=False
         )
 
         mask = None

@@ -299,7 +299,7 @@ def execute_sweeps_resident(
                 return s
 
             y = jnp_backend.eval_scalar_dag(
-                body, rank, 1, access_fn, index_fn, scalar_vals
+                body, rank, 1, access_fn, index_fn, scalar_vals, pinned=False
             )[0]
             y = jnp.broadcast_to(jnp.asarray(y, dtype), shape)
             v = y if mask is None else jnp.where(mask, y, src)
@@ -517,7 +517,7 @@ def _sweeps_window_impl(
                 return s
 
             y = jnp_backend.eval_scalar_dag(
-                body, rank, 1, access_fn, global_iota, scalar_vals
+                body, rank, 1, access_fn, global_iota, scalar_vals, pinned=False
             )[0]
             y = jnp.broadcast_to(jnp.asarray(y, dtype), wshape)
             v = y if mask is None else jnp.where(mask, y, src)

@@ -40,14 +40,10 @@ from typing import Callable, Optional
 
 import jax.numpy as jnp
 from jax import lax
-from jax import shard_map
 
-from ..ir.types import TempType
-from ..solvers.krylov import SolveInfo
 from .ca_cg import _basis_matrix
-from .ca_common import MatrixPowers
+from .ca_common import MatrixPowers, plan_ca_solver, run_ca_solver
 from .mesh import GridMesh
-from .sharded_apply import _block_apply, _fused_plan, _single_apply
 
 
 def bicgstab_sharded(
@@ -73,49 +69,21 @@ def bicgstab_sharded(
     already cuts exchange rounds ~4x and psum rounds ~8x vs per-iteration
     BiCGStab's 4 dots + 2 exchanges per iteration).
     """
-    if s < 1:
-        raise ValueError("s must be >= 1")
-    if basis not in ("monomial", "chebyshev"):
-        raise ValueError(f"unknown basis {basis!r}")
-    if basis == "chebyshev" and (lam_min is None or lam_max is None):
-        raise ValueError("basis='chebyshev' needs lam_min and lam_max")
-    fn = cm.module.lookup(name)
-    tt: TempType = fn.ftype.inputs[0]
-    rank = tt.bounds.rank
-    if len(fn.ftype.inputs) != 1 or len(fn.ftype.results) != 1:
-        raise ValueError("bicgstab_sharded needs a unary, single-result opdef")
-    op = _single_apply(fn)
-    if op is None:
-        raise ValueError("bicgstab_sharded needs a single-apply opdef body")
-    names = list(gmesh.axis_names[:rank]) + [None] * (
-        rank - len(gmesh.axis_names)
+    # two operator applications per iteration: the chains run 2s+1 deep
+    sp = plan_ca_solver(
+        cm, name, gmesh, s=s, kdepth=2 * s + 1, kdepth_desc="(2s+1)",
+        solver="bicgstab_sharded", basis=basis, lam_min=lam_min,
+        lam_max=lam_max,
     )
+    rank, names, need, spec = sp.rank, sp.names, sp.need, sp.spec
+    outer, dtype, periodic = sp.outer, sp.dtype, sp.periodic
+    theta, delta, matvec_block = sp.theta, sp.delta, sp.matvec_block
+
     kdepth = 2 * s + 1
-    plan = _fused_plan(fn, op, gmesh, names, tt, sweeps_k=kdepth)
-    if plan is None:
-        raise ValueError(
-            f"@{name} is not eligible at s={s} "
-            "(non-constant scalars, or (2s+1)*reach exceeds a shard)"
-        )
-    need, scalar_vals, _ret_index, _arg_order = plan
-    spec = gmesh.pspec(rank)
-
-    out_type: TempType = op.results[0].type
-    outer = out_type.bounds
-    dtype = jnp.dtype(out_type.element)
-    periodic = bool(op.attrs.get("periodic"))
-
     len_p, len_r = 2 * s + 2, 2 * s + 1
     m = len_p + len_r  # 4s + 3
     R0 = len_p  # coefficient index of the R-chain seed (the residual)
-    if basis == "chebyshev":
-        theta = 0.5 * (float(lam_max) + float(lam_min))  # python floats stay weak-typed (a np.float64 bound would promote f32 fields under x64)
-        delta = 0.5 * (float(lam_max) - float(lam_min))
-    else:
-        theta = delta = 0.0
     Bmat = _basis_matrix((len_p, len_r), basis, theta, delta, dtype)
-
-    matvec_block = _block_apply(op, names, scalar_vals)
 
     def global_fn(b):
         def local_fn(bl, sl):
@@ -126,6 +94,7 @@ def bicgstab_sharded(
                 outer=outer, dtype=dtype, periodic=periodic, basis=basis,
                 theta=theta, delta=delta,
                 need_k=[(kdepth * lo, kdepth * hi) for lo, hi in need],
+                need_1=need,
                 bl=bl, sl=sl,
             )
             nloc, gsum = mp.nloc, mp.gsum
@@ -279,20 +248,6 @@ def bicgstab_sharded(
                 x = mp.S_loc * x
             return x, rr, it, target2
 
-        has_id = inv_diag is not None
-        idl = inv_diag if has_id else jnp.zeros(())
-        x, rr, it, target2 = shard_map(
-            lambda bb, ii: local_fn(bb, ii if has_id else None),
-            mesh=gmesh.mesh,
-            in_specs=(spec, spec if has_id else gmesh.pspec(0)),
-            out_specs=(spec,) + (gmesh.pspec(0),) * 3,
-            check_vma=False,
-        )(b, idl)
-        info = SolveInfo(
-            iters=it,
-            resnorm=jnp.sqrt(rr),
-            converged=rr <= target2,
-        )
-        return x, info
+        return run_ca_solver(local_fn, gmesh, spec, b, inv_diag)
 
     return global_fn

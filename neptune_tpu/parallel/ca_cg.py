@@ -45,13 +45,9 @@ import numpy as np
 
 import jax.numpy as jnp
 from jax import lax
-from jax import shard_map
 
-from ..ir.types import TempType
-from ..solvers.krylov import SolveInfo
-from .ca_common import MatrixPowers
+from .ca_common import MatrixPowers, plan_ca_solver, run_ca_solver
 from .mesh import GridMesh
-from .sharded_apply import _block_apply, _fused_plan, _single_apply
 
 
 def _basis_matrix(lengths, basis: str, theta, delta, dtype):
@@ -106,46 +102,16 @@ def cg_sharded(
     like b). basis="chebyshev" requires lam_min/lam_max bounding the
     spectrum of Ã = S A S (estimate with `solvers.chebyshev
     .estimate_spectrum` over a `shardmap_opdef` matvec)."""
-    if s < 1:
-        raise ValueError("s must be >= 1")
-    if basis not in ("monomial", "chebyshev"):
-        raise ValueError(f"unknown basis {basis!r}")
-    if basis == "chebyshev" and (lam_min is None or lam_max is None):
-        raise ValueError("basis='chebyshev' needs lam_min and lam_max")
-    fn = cm.module.lookup(name)
-    tt: TempType = fn.ftype.inputs[0]
-    rank = tt.bounds.rank
-    if len(fn.ftype.inputs) != 1 or len(fn.ftype.results) != 1:
-        raise ValueError("cg_sharded needs a unary, single-result opdef")
-    op = _single_apply(fn)
-    if op is None:
-        raise ValueError("cg_sharded needs a single-apply opdef body")
-    names = list(gmesh.axis_names[:rank]) + [None] * (
-        rank - len(gmesh.axis_names)
+    sp = plan_ca_solver(
+        cm, name, gmesh, s=s, kdepth=s, kdepth_desc="s",
+        solver="cg_sharded", basis=basis, lam_min=lam_min, lam_max=lam_max,
     )
-    plan = _fused_plan(fn, op, gmesh, names, tt, sweeps_k=s)
-    if plan is None:
-        raise ValueError(
-            f"@{name} is not eligible at s={s} "
-            "(non-constant scalars, or s*reach exceeds a shard)"
-        )
-    need, scalar_vals, _ret_index, _arg_order = plan
-    spec = gmesh.pspec(rank)
-
-    out_type: TempType = op.results[0].type
-    outer = out_type.bounds
-    dtype = jnp.dtype(out_type.element)
-    periodic = bool(op.attrs.get("periodic"))
+    rank, names, need, spec = sp.rank, sp.names, sp.need, sp.spec
+    outer, dtype, periodic = sp.outer, sp.dtype, sp.periodic
+    theta, delta, matvec_block = sp.theta, sp.delta, sp.matvec_block
 
     m = 2 * s + 1
-    if basis == "chebyshev":
-        theta = 0.5 * (float(lam_max) + float(lam_min))  # python floats stay weak-typed (a np.float64 bound would promote f32 fields under x64)
-        delta = 0.5 * (float(lam_max) - float(lam_min))
-    else:
-        theta = delta = 0.0
     Bmat = _basis_matrix((s + 1, s), basis, theta, delta, dtype)
-
-    matvec_block = _block_apply(op, names, scalar_vals)
 
     def global_fn(b):
         def local_fn(bl, sl):
@@ -156,6 +122,7 @@ def cg_sharded(
                 outer=outer, dtype=dtype, periodic=periodic, basis=basis,
                 theta=theta, delta=delta,
                 need_k=[(s * lo, s * hi) for lo, hi in need],
+                need_1=need,
                 bl=bl, sl=sl,
             )
             nloc, gsum = mp.nloc, mp.gsum
@@ -217,7 +184,13 @@ def cg_sharded(
                     )
                     p_c = jnp.where(good, r_c + beta * p_c, p_c)
                     rr_j = jnp.where(good, rr_new, rr_j)
-                    it_j = it_j + ok.astype(jnp.int32)
+                    # count only fully-good iterations (same convention as
+                    # CA-BiCGStab): an ok-but-degenerate step still moved
+                    # x_c by a valid alpha, but its residual estimate is
+                    # garbage — counting it would skew iters/sec exactly in
+                    # the stagnating cases, and the stall counter needs
+                    # "no good iteration" to mean "no progress"
+                    it_j = it_j + good.astype(jnp.int32)
 
                 # breakdown restart: next block's search direction = residual
                 p_c = jnp.where(brk & block_on, r_c, p_c)
@@ -255,20 +228,6 @@ def cg_sharded(
                 x = mp.S_loc * x
             return x, rr, it, target2
 
-        has_id = inv_diag is not None
-        idl = inv_diag if has_id else jnp.zeros(())
-        x, rr, it, target2 = shard_map(
-            lambda bb, ii: local_fn(bb, ii if has_id else None),
-            mesh=gmesh.mesh,
-            in_specs=(spec, spec if has_id else gmesh.pspec(0)),
-            out_specs=(spec,) + (gmesh.pspec(0),) * 3,
-            check_vma=False,
-        )(b, idl)
-        info = SolveInfo(
-            iters=it,
-            resnorm=jnp.sqrt(rr),
-            converged=rr <= target2,
-        )
-        return x, info
+        return run_ca_solver(local_fn, gmesh, spec, b, inv_diag)
 
     return global_fn

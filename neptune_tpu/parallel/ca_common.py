@@ -24,15 +24,116 @@ not seed chains.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-from jax import lax
+from typing import NamedTuple
 
+import jax.numpy as jnp
+from jax import lax, shard_map
+
+from ..ir.types import TempType
+from ..solvers.krylov import SolveInfo
 from .sharded_apply import (
+    _block_apply,
+    _fused_plan,
     _gstart,
     _run_band_fixups,
+    _single_apply,
     _stitch_band,
     _strip_exchange,
 )
+
+
+class SolverPlan(NamedTuple):
+    """Everything the CA solver frontends share: validated opdef geometry,
+    the fused-exchange plan, and the per-shard matvec."""
+
+    rank: int
+    names: list
+    need: list
+    spec: object
+    outer: object
+    dtype: object
+    periodic: bool
+    theta: float
+    delta: float
+    matvec_block: object
+
+
+def plan_ca_solver(
+    cm, name, gmesh, *, s, kdepth, kdepth_desc, solver, basis,
+    lam_min, lam_max,
+):
+    """Shared frontend for the CA-Krylov trio: validate the opdef (unary,
+    single-result, single-apply), check basis arguments, run `_fused_plan`
+    at the solver's chain depth, and build the per-shard matvec.
+
+    kdepth: how many times the basis chains apply Ã per exchange (CG: s,
+    GMRES: s+1, BiCGStab: 2s+1); kdepth_desc names it in the eligibility
+    error."""
+    if s < 1:
+        raise ValueError("s must be >= 1")
+    if basis not in ("monomial", "chebyshev"):
+        raise ValueError(f"unknown basis {basis!r}")
+    if basis == "chebyshev" and (lam_min is None or lam_max is None):
+        raise ValueError("basis='chebyshev' needs lam_min and lam_max")
+    fn = cm.module.lookup(name)
+    tt: TempType = fn.ftype.inputs[0]
+    rank = tt.bounds.rank
+    if len(fn.ftype.inputs) != 1 or len(fn.ftype.results) != 1:
+        raise ValueError(f"{solver} needs a unary, single-result opdef")
+    op = _single_apply(fn)
+    if op is None:
+        raise ValueError(f"{solver} needs a single-apply opdef body")
+    names = list(gmesh.axis_names[:rank]) + [None] * (
+        rank - len(gmesh.axis_names)
+    )
+    plan = _fused_plan(fn, op, gmesh, names, tt, sweeps_k=kdepth)
+    if plan is None:
+        raise ValueError(
+            f"@{name} is not eligible at s={s} "
+            f"(non-constant scalars, or {kdepth_desc}*reach exceeds a shard)"
+        )
+    need, scalar_vals, _ret_index, _arg_order = plan
+
+    out_type: TempType = op.results[0].type
+    if basis == "chebyshev":
+        # python floats stay weak-typed (a np.float64 bound would promote
+        # f32 fields under x64)
+        theta = 0.5 * (float(lam_max) + float(lam_min))
+        delta = 0.5 * (float(lam_max) - float(lam_min))
+    else:
+        theta = delta = 0.0
+    return SolverPlan(
+        rank=rank,
+        names=names,
+        need=need,
+        spec=gmesh.pspec(rank),
+        outer=out_type.bounds,
+        dtype=jnp.dtype(out_type.element),
+        periodic=bool(op.attrs.get("periodic")),
+        theta=theta,
+        delta=delta,
+        matvec_block=_block_apply(op, names, scalar_vals),
+    )
+
+
+def run_ca_solver(local_fn, gmesh, spec, b, inv_diag):
+    """Shared solve tail: shard_map `local_fn(b_block, inv_diag_block)
+    -> (x, rr, it, target2)` over the mesh and assemble SolveInfo."""
+    has_id = inv_diag is not None
+    idl = inv_diag if has_id else jnp.zeros(())
+    x, rr, it, target2 = shard_map(
+        lambda bb, ii: local_fn(bb, ii if has_id else None),
+        mesh=gmesh.mesh,
+        in_specs=(spec, spec if has_id else gmesh.pspec(0)),
+        out_specs=(spec,) + (gmesh.pspec(0),) * 3,
+        check_vma=False,
+    )(b, idl)
+    info = SolveInfo(
+        iters=it,
+        resnorm=jnp.sqrt(rr),
+        converged=rr <= target2,
+    )
+    return x, info
 
 
 class MatrixPowers:
@@ -52,6 +153,7 @@ class MatrixPowers:
         theta,
         delta,
         need_k,
+        need_1,
         bl,
         sl,
     ):
@@ -64,6 +166,7 @@ class MatrixPowers:
         self.theta = theta
         self.delta = delta
         self.need_k = need_k
+        self.need_1 = need_1
         self.nloc = bl.shape
         self.gstart = _gstart(self.nloc, rank, names, outer)
         # split-preconditioner S and b̃ = S b; their strips are
@@ -166,20 +269,29 @@ class MatrixPowers:
     def true_rr(self, x):
         """||b̃ - Ã x||² with a fresh exchange + band fixup — the honest
         final report (coefficient-space estimates bottom out at
-        ~sqrt(eps); see the solver docstrings)."""
+        ~sqrt(eps); see the solver docstrings).
+
+        One matvec needs only 1x-reach ghosts, so the exchange here is
+        1-deep — not the solver's K-deep strips. Exchanging w = S·x (not x)
+        makes the band replay a pure stencil apply: with
+        r = b̃ - Ã x = b̃ - S·A(S·x) = b̃ - S·(A w), the subtraction and
+        both S multiplies act on core rows only, so no constants ride the
+        exchange at all — one field, one-deep, cheaper than the solver's
+        in-loop rounds in both ppermute count and bytes."""
+        w = x if self.S_loc is None else self.S_loc * x
         ts, te, td = _strip_exchange(
-            [x], self.nloc, self.rank, self.names, self.need_k,
+            [w], self.nloc, self.rank, self.names, self.need_1,
             self.periodic,
         )
-        r_main = self.btl - self.Amv(x, self.S_loc, self.gstart, self.nloc)
+        u_main = self.matvec_block(w, self.gstart, self.nloc)
 
         def rreplay(bands, zone):
-            (bx,) = (bb.astype(self.dtype) for bb in bands)
-            bbt, bS = self._band_consts(zone)
-            return [bbt - self.Amv(bx, bS, zone.bases, bx.shape)]
+            bw = bands[0].astype(self.dtype)
+            return [self.matvec_block(bw, zone.bases, bw.shape)]
 
-        (rf,) = _run_band_fixups(
-            [r_main], 1, ts, te, td, self.need_k, self.nloc, self.rank,
-            self.gstart, rreplay,
+        (uf,) = _run_band_fixups(
+            [u_main], 1, ts, te, td, self.need_1, self.nloc,
+            self.rank, self.gstart, rreplay,
         )
+        rf = self.btl - (uf if self.S_loc is None else self.S_loc * uf)
         return self.gsum(jnp.sum(rf * rf))

@@ -56,14 +56,10 @@ from typing import Callable, Optional
 
 import jax.numpy as jnp
 from jax import lax
-from jax import shard_map
 
-from ..ir.types import TempType
-from ..solvers.krylov import SolveInfo
 from .ca_cg import _basis_matrix
-from .ca_common import MatrixPowers
+from .ca_common import MatrixPowers, plan_ca_solver, run_ca_solver
 from .mesh import GridMesh
-from .sharded_apply import _block_apply, _fused_plan, _single_apply
 
 
 def gmres_sharded(
@@ -86,48 +82,19 @@ def gmres_sharded(
     preconditioner diagonal (positive, full-field, sharded like b).
     basis="chebyshev" requires lam_min/lam_max bounding the (real part of
     the) spectrum of Ã = S A S."""
-    if s < 1:
-        raise ValueError("s must be >= 1")
-    if basis not in ("monomial", "chebyshev"):
-        raise ValueError(f"unknown basis {basis!r}")
-    if basis == "chebyshev" and (lam_min is None or lam_max is None):
-        raise ValueError("basis='chebyshev' needs lam_min and lam_max")
-    fn = cm.module.lookup(name)
-    tt: TempType = fn.ftype.inputs[0]
-    rank = tt.bounds.rank
-    if len(fn.ftype.inputs) != 1 or len(fn.ftype.results) != 1:
-        raise ValueError("gmres_sharded needs a unary, single-result opdef")
-    op = _single_apply(fn)
-    if op is None:
-        raise ValueError("gmres_sharded needs a single-apply opdef body")
-    names = list(gmesh.axis_names[:rank]) + [None] * (
-        rank - len(gmesh.axis_names)
-    )
     # the chain applies Ã s+1 times from x (1 for the true-residual seed,
     # s for the basis), so the strips must carry (s+1)-deep reach
-    plan = _fused_plan(fn, op, gmesh, names, tt, sweeps_k=s + 1)
-    if plan is None:
-        raise ValueError(
-            f"@{name} is not eligible at s={s} "
-            "(non-constant scalars, or (s+1)*reach exceeds a shard)"
-        )
-    need, scalar_vals, _ret_index, _arg_order = plan
-    spec = gmesh.pspec(rank)
-
-    out_type: TempType = op.results[0].type
-    outer = out_type.bounds
-    dtype = jnp.dtype(out_type.element)
-    periodic = bool(op.attrs.get("periodic"))
+    sp = plan_ca_solver(
+        cm, name, gmesh, s=s, kdepth=s + 1, kdepth_desc="(s+1)",
+        solver="gmres_sharded", basis=basis, lam_min=lam_min,
+        lam_max=lam_max,
+    )
+    rank, names, need, spec = sp.rank, sp.names, sp.need, sp.spec
+    outer, dtype, periodic = sp.outer, sp.dtype, sp.periodic
+    theta, delta, matvec_block = sp.theta, sp.delta, sp.matvec_block
 
     m = s + 1
-    if basis == "chebyshev":
-        theta = 0.5 * (float(lam_max) + float(lam_min))  # python floats stay weak-typed (a np.float64 bound would promote f32 fields under x64)
-        delta = 0.5 * (float(lam_max) - float(lam_min))
-    else:
-        theta = delta = 0.0
-    Bred = _basis_matrix((m,), basis, theta, delta, dtype)[:, :s]  # m×s
-
-    matvec_block = _block_apply(op, names, scalar_vals)
+    Bred = _basis_matrix((m,), basis, theta, delta, dtype)[:, :s]  # m x s
 
     def global_fn(b):
         def local_fn(bl, sl):
@@ -138,6 +105,7 @@ def gmres_sharded(
                 outer=outer, dtype=dtype, periodic=periodic, basis=basis,
                 theta=theta, delta=delta,
                 need_k=[((s + 1) * lo, (s + 1) * hi) for lo, hi in need],
+                need_1=need,
                 bl=bl, sl=sl,
             )
             nloc, gsum = mp.nloc, mp.gsum
@@ -208,20 +176,6 @@ def gmres_sharded(
                 x = mp.S_loc * x
             return x, rr, it, target2
 
-        has_id = inv_diag is not None
-        idl = inv_diag if has_id else jnp.zeros(())
-        x, rr, it, target2 = shard_map(
-            lambda bb, ii: local_fn(bb, ii if has_id else None),
-            mesh=gmesh.mesh,
-            in_specs=(spec, spec if has_id else gmesh.pspec(0)),
-            out_specs=(spec,) + (gmesh.pspec(0),) * 3,
-            check_vma=False,
-        )(b, idl)
-        info = SolveInfo(
-            iters=it,
-            resnorm=jnp.sqrt(rr),
-            converged=rr <= target2,
-        )
-        return x, info
+        return run_ca_solver(local_fn, gmesh, spec, b, inv_diag)
 
     return global_fn

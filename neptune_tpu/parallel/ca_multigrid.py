@@ -234,18 +234,17 @@ def build_ca_levels(
         """build_levels probes the operator diagonal with stencil-period
         shifts; a bare callable without `.halo` falls back to period
         (1, 1), which ALIASES taps of reach > 1 into the diagonal (wrong
-        inv_diag, wrong lam_max, silently degraded smoothing). Attach the
-        verifier's halo so probing is exact for any reach."""
-        try:
-            mv.halo = halo
-            return mv
-        except AttributeError:  # e.g. a jit wrapper that rejects attrs
+        inv_diag, wrong lam_max, silently degraded smoothing). Wrap with
+        the verifier's halo so probing is exact for any reach — always a
+        fresh wrapper, never a mutation of the caller's callable (setting
+        `.halo` on a user function would leak past this call and go stale
+        if the same callable is reused for a different operator)."""
 
-            def shim(v, _mv=mv):
-                return _mv(v)
+        def shim(v, _mv=mv):
+            return _mv(v)
 
-            shim.halo = halo
-            return shim
+        shim.halo = halo
+        return shim
 
     mvs = (
         list(matvecs)

@@ -138,7 +138,7 @@ def _eval_apply_local(
             return iv + global_start[d] + lo[d]
 
         ys = jnp_backend.eval_scalar_dag(
-            op.region(0), rank, n_in, access_fn, index_fn, scalars
+            op.region(0), rank, n_in, access_fn, index_fn, scalars, pinned=False
         )
         dtype = jnp.dtype(out_type.element)
         outs = []
@@ -172,7 +172,7 @@ def _eval_apply_local(
         return iv + global_start[d]
 
     ys = jnp_backend.eval_scalar_dag(
-        op.region(0), rank, n_in, access_fn, index_fn, scalars
+        op.region(0), rank, n_in, access_fn, index_fn, scalars, pinned=False
     )
     dtype = jnp.dtype(out_type.element)
     outs = []
@@ -501,7 +501,7 @@ def _block_apply(op, names, scalar_vals):
             return iv + bases[d]
 
         ys = jnp_backend.eval_scalar_dag(
-            op.region(0), rank, 1, access_fn, index_fn, scalar_vals
+            op.region(0), rank, 1, access_fn, index_fn, scalar_vals, pinned=False
         )
         y = jnp.broadcast_to(jnp.asarray(ys[0], dtype), shape)
         if not full_domain:
@@ -716,7 +716,7 @@ def _shardmap_fused(cm, fn, op, gmesh, names, spec, tt, plan) -> Callable:
                     )
 
                 ys = jnp_backend.eval_scalar_dag(
-                    op.region(0), rank, n_in, access_fn, index_fn, scalars_rt
+                    op.region(0), rank, n_in, access_fn, index_fn, scalars_rt, pinned=False
                 )
                 outs = []
                 for j, y in enumerate(ys):
@@ -773,7 +773,7 @@ def _shardmap_fused(cm, fn, op, gmesh, names, spec, tt, plan) -> Callable:
                     return iv + base
 
                 bys = jnp_backend.eval_scalar_dag(
-                    op.region(0), rank, n_in, b_access, b_index, scalars_rt
+                    op.region(0), rank, n_in, b_access, b_index, scalars_rt, pinned=False
                 )
                 res = []
                 for j, y in enumerate(bys):
@@ -1131,7 +1131,7 @@ def shardmap_sweeps(
                     return iv + bases[d]
 
                 ys = jnp_backend.eval_scalar_dag(
-                    op.region(0), rank, 1, access_fn, index_fn, scalars_rt
+                    op.region(0), rank, 1, access_fn, index_fn, scalars_rt, pinned=False
                 )
                 y = jnp.broadcast_to(jnp.asarray(ys[0], dtype), shape)
                 if not full_domain:

@@ -121,6 +121,43 @@ def test_cg_pinned_arithmetic_bitwise_across_meshes():
         config.pinned_arithmetic = False
 
 
+def test_pinned_fence_scoped_to_gspmd_paths():
+    """config.py documents pinned_arithmetic as jnp/GSPMD-only: the
+    shard_map fused paths (ca_*, shardmap_*) are performance paths and keep
+    default arithmetic. eval_scalar_dag is shared between both, so the
+    fence must be gated per caller — the GSPMD jaxpr carries the
+    select-based fence (is_finite), the shard_map fused jaxpr must not."""
+    from neptune_tpu.config import config
+    from neptune_tpu.parallel import shardmap_opdef
+
+    config.pinned_arithmetic = True
+    try:
+        ntp.reset_context()
+        n = 64
+
+        @ntp.linear_op_def(
+            bounds=([0, 0], [n, n]), interior=([1, 1], [n - 1, n - 1]),
+            dtype="float32",
+        )
+        def lap(u):
+            return 4.0 * u[0, 0] - u[-1, 0] - u[1, 0] - u[0, -1] - u[0, 1]
+
+        cm = ntp.get_context().compiled()
+        gm = GridMesh((2, 2))
+        x = gm.shard(jnp.zeros((n, n), jnp.float32))
+        gspmd_jaxpr = str(jax.make_jaxpr(sharded_opdef(cm, "lap", gm))(x))
+        fused_jaxpr = str(jax.make_jaxpr(shardmap_opdef(cm, "lap", gm))(x))
+        assert "is_finite" in gspmd_jaxpr, (
+            "GSPMD path lost the pinned-arithmetic FMA fence"
+        )
+        assert "is_finite" not in fused_jaxpr, (
+            "shard_map fused path picked up the fence — it is documented "
+            "to keep default arithmetic (config.py pinned_arithmetic)"
+        )
+    finally:
+        config.pinned_arithmetic = False
+
+
 def test_pinned_wide_stencil_f32_apply_chain_bitwise():
     """Pinned-mode coverage beyond the one CG config (round-3 review): an
     f32 4th-order advection operator — mul-heavy body, h0 = 2 — applied 50
