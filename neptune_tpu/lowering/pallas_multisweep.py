@@ -46,6 +46,10 @@ multi-copy-kernel sweeps, which do handle torus domains). Rank-3 windows
 hold whole (N1, N2) planes per dim-0 row, so their working set is large:
 they run under a raised Mosaic scoped-vmem limit with small slabs, trading
 window-recompute overhead (win/slab ≤ 3) for the K-fold HBM saving.
+Rank-2 rows too wide for a profitable one-level slab (past 8192² f32 at
+h0=2, K>8) switch to the two-level variant (`_sweeps_window2_impl`): dim 1
+is tiled into haloed panels as well, with clamp repair and validity creep
+in both dims.
 """
 
 from __future__ import annotations
@@ -183,6 +187,38 @@ def _pick_slab_rank2(extent0: int, row_bytes: int, hp: int) -> Optional[int]:
     return slab
 
 
+# minimum two-level panel width: narrower panels pay the column-halo
+# re-read + strided-DMA cost on too little useful work
+_PANEL_MIN = 512
+
+
+def _pick_panels(extent0, extent1, itemsize, hp, h1, k):
+    """Two-level geometry (slab, pw, hp1c, win1) for rows too wide for the
+    single-level window, or None.
+
+    The window is tiled in BOTH dims: dim-0 slabs as before, dim-1 panels
+    of pw columns fetched with hp1c = K*h1 halo columns (padded to the
+    128-lane tile) each side. Shrinking the effective row to win1 bytes is
+    what lets `_pick_slab` reach the slab >= 4*hp profitability bar at
+    widths where even the escalated budget cannot. Panels are tried widest
+    first (fewest halo-column re-reads); column overhead is capped at 1.5x
+    like the dim-0 recompute bar."""
+    hp1c = ((k * h1 + 127) // 128) * 128 if h1 else 0
+    pw = (extent1 // 2 // 128) * 128
+    while pw >= _PANEL_MIN:
+        if extent1 % pw == 0:
+            win1 = pw + 2 * hp1c
+            if win1 <= extent1 and 2 * win1 <= 3 * pw:
+                slab = _pick_slab(
+                    extent0, win1 * itemsize, hp, 2,
+                    budget=_VMEM_BUDGET_WIDE,
+                )
+                if slab is not None and slab >= 4 * hp:
+                    return slab, pw, hp1c, win1
+        pw -= 128
+    return None
+
+
 def sweeps_plan(module: Module, name: str, k: int) -> Optional[dict]:
     """Geometry for a K-sweep fused kernel, or None if ineligible."""
     op = find_sweep_apply(module, name)
@@ -197,20 +233,34 @@ def sweeps_plan(module: Module, name: str, k: int) -> Optional[dict]:
     if hp > _MAX_HP:
         return None
     dtype = jnp.dtype(out_type.element)
+    if shape[-1] < 128 or math.prod(shape) < 64 * 128:
+        return None
     row_bytes = math.prod(shape[1:]) * dtype.itemsize
     slab = (
         _pick_slab_rank2(shape[0], row_bytes, hp)
         if rank == 2
         else _pick_slab(shape[0], row_bytes, hp, rank)
     )
+    if rank == 2 and (slab is None or slab < 4 * hp):
+        # rows too wide for a profitable one-level slab even at the
+        # escalated budget: tile dim 1 into haloed panels too
+        h1 = max(sshape.halo()[1])
+        two = _pick_panels(shape[0], shape[1], dtype.itemsize, hp, h1, k)
+        if two is not None:
+            slab2, pw, hp1c, win1 = two
+            win = slab2 + 2 * hp
+            if win <= shape[0] and slab2 >= hp:
+                return {
+                    "op": op, "slab": slab2, "hp": hp, "win": win,
+                    "h0": h0, "two_level": True, "pw": pw,
+                    "hp1c": hp1c, "win1": win1, "h1": h1,
+                }
     if slab is None:
         return None
     win = slab + 2 * hp
     # interior slabs must never hit the window clamp (edge repair assumes
     # only the first/last slab shift), which needs slab >= hp
     if win > shape[0] or slab < hp:
-        return None
-    if shape[-1] < 128 or math.prod(shape) < 64 * 128:
         return None
     return {"op": op, "slab": slab, "hp": hp, "win": win, "h0": h0}
 
@@ -395,7 +445,8 @@ def execute_sweeps(
         )
     plan = sweeps_plan(module, name, k)
     assert plan is not None, "execute_sweeps on an ineligible opdef"
-    return _sweeps_window_impl(
+    impl = _sweeps_window2_impl if plan.get("two_level") else _sweeps_window_impl
+    return impl(
         plan["op"], x, scalars, k, plan, global_start=None, interpret=interpret
     )
 
@@ -579,6 +630,215 @@ def _sweeps_window_impl(
         **kwargs,
     )(*call_inputs)
 
+
+
+def _sweeps_window2_impl(
+    op: Operation,
+    x,
+    scalars: Sequence,
+    k: int,
+    plan: dict,
+    *,
+    global_start=None,
+    interpret: bool = False,
+):
+    """The two-level (dim-0 slabs x dim-1 panels) K-fused window kernel.
+
+    Same temporal-blocking contract as `_sweeps_window_impl`, for rank-2
+    grids whose rows are too wide for a profitable one-level slab: the
+    grid walks (panel, slab) positions; each step DMAs a
+    (slab + 2*hp) x (pw + 2*hp1c) window — a strided 2-D HBM slice — into
+    the double-buffered scratch, repairs the edge clamps with dynamic
+    rolls in BOTH dims, runs the K unrolled sweeps, and writes back the
+    (slab, pw) center. Validity creep is now two-dimensional: after sweep
+    t the trustworthy region is rows [t*h0, win-t*h0) x cols
+    [t*h1, win1-t*h1); the center needs K*h0 <= hp and K*h1 <= hp1c,
+    guaranteed by `_pick_panels` (hp1c = K*h1 padded to the 128-lane
+    tile, which also keeps every column window start lane-aligned).
+
+    HBM traffic per K sweeps: (win1/pw)x read + 1x write of the grid vs
+    2K for K separate sweeps — the column-halo re-read is capped at 1.5x
+    by the planner, so the K-fold saving dominates.
+    """
+    slab, hp, win = plan["slab"], plan["hp"], plan["win"]
+    pw, hp1c, win1 = plan["pw"], plan["hp1c"], plan["win1"]
+    shape = tuple(x.shape)
+
+    out_type: TempType = op.results[0].type
+    bounds: Bounds = op.attrs["bounds"]
+    outer = out_type.bounds
+    rank = len(shape)
+    assert rank == 2, "two-level window is rank-2 only"
+    wshape = (win, win1)
+    dtype = jnp.dtype(out_type.element)
+    n_slabs = shape[0] // slab
+    n_panels = shape[1] // pw
+    body = op.region(0)
+    full_domain = bounds == outer
+    n_scalars = len(scalars)
+    n_start = 0 if global_start is None else rank
+
+    def kernel(*refs):
+        hbm_ref = refs[0]
+        start_refs = refs[1 : 1 + n_start]
+        scalar_refs = refs[1 + n_start : 1 + n_start + n_scalars]
+        out_ref = refs[1 + n_start + n_scalars]
+        scratch = refs[2 + n_start + n_scalars]  # (2,) + wshape VMEM
+        sems = refs[3 + n_start + n_scalars]  # (2,) DMA semaphores
+
+        p = pl.program_id(0)
+        i = pl.program_id(1)
+        step = p * jnp.int32(n_slabs) + i
+
+        def row_start(si):
+            ideal = si * slab - hp
+            w = jnp.clip(
+                ideal, jnp.int32(0), jnp.int32(shape[0] - win)
+            ).astype(jnp.int32)
+            return pl.multiple_of(w, 8)
+
+        def col_start(pi):
+            ideal = pi * pw - hp1c
+            w = jnp.clip(
+                ideal, jnp.int32(0), jnp.int32(shape[1] - win1)
+            ).astype(jnp.int32)
+            return pl.multiple_of(w, 128)
+
+        def start_fetch(pi, si, slot):
+            pltpu.make_async_copy(
+                hbm_ref.at[
+                    pl.ds(row_start(si), win), pl.ds(col_start(pi), win1)
+                ],
+                scratch.at[slot],
+                sems.at[slot],
+            ).start()
+
+        @pl.when(step == 0)
+        def _():
+            start_fetch(jnp.int32(0), jnp.int32(0), 0)
+
+        @pl.when(step + 1 < n_panels * n_slabs)
+        def _():
+            # next grid step: same panel's next slab, or the next panel's
+            # first slab (the inner grid dim varies fastest)
+            last = i + 1 >= n_slabs
+            pn = jnp.where(last, p + 1, p)
+            sn = jnp.where(last, jnp.int32(0), i + 1)
+            start_fetch(pn, sn, (step + 1) % 2)
+
+        pltpu.make_async_copy(
+            hbm_ref.at[pl.ds(jnp.int32(0), win), pl.ds(jnp.int32(0), win1)],
+            scratch.at[step % 2],
+            sems.at[step % 2],
+        ).wait()
+
+        # repair the edge clamps: after the rolls, window cell (r, c)
+        # holds global (i*slab - hp + r, p*pw - hp1c + c); wrapped rows/
+        # cols are garbage covered by the creep margins
+        v = scratch[step % 2]
+        d0 = (i * slab - jnp.int32(hp)) - row_start(i)
+        v = pltpu.roll(v, ((-d0) % win).astype(jnp.int32), axis=0)
+        d1 = (p * pw - jnp.int32(hp1c)) - col_start(p)
+        v = pltpu.roll(v, ((-d1) % win1).astype(jnp.int32), axis=1)
+
+        def base_of(d):
+            if global_start is None:
+                return jnp.int32(outer.lb[d])
+            return start_refs[d][0, 0]
+
+        def global_iota(d):
+            iv = jax.lax.broadcasted_iota(jnp.int32, wshape, d)
+            if d == 0:
+                return iv + i * slab - jnp.int32(hp) + base_of(0)
+            return iv + p * pw - jnp.int32(hp1c) + base_of(1)
+
+        if full_domain:
+            mask = None
+        else:
+            mask = None
+            for d in range(rank):
+                iv = global_iota(d)
+                md = (iv >= bounds.lb[d]) & (iv < bounds.ub[d])
+                mask = md if mask is None else (mask & md)
+
+        scalar_vals = [r[0, 0] for r in scalar_refs]
+
+        for _sweep in range(k):
+            src = v
+
+            def access_fn(_k, offset, src=src):
+                s = src
+                for d in range(rank):
+                    if offset[d]:
+                        size = win if d == 0 else win1
+                        s = pltpu.roll(
+                            s, jnp.int32((-offset[d]) % size), axis=d
+                        )
+                return s
+
+            y = jnp_backend.eval_scalar_dag(
+                body, rank, 1, access_fn, global_iota, scalar_vals,
+                pinned=False,
+            )[0]
+            y = jnp.broadcast_to(jnp.asarray(y, dtype), wshape)
+            v = y if mask is None else jnp.where(mask, y, src)
+
+        out_ref[...] = jax.lax.slice(
+            v, (hp, hp1c), (hp + slab, hp1c + pw)
+        )
+
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    for _ in range(n_start + n_scalars):
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1),
+                lambda p, i: (jnp.int32(0), jnp.int32(0)),
+                memory_space=pltpu.SMEM,
+            )
+        )
+    out_spec = pl.BlockSpec(
+        (slab, pw),
+        lambda p, i: (jnp.asarray(i, jnp.int32), jnp.asarray(p, jnp.int32)),
+        memory_space=pltpu.VMEM,
+    )
+    scratch_shapes = [
+        pltpu.VMEM((2,) + wshape, dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+    n_offsets = len(set(op.attrs["shape"].offsets)) or 1
+    cost = pl.CostEstimate(
+        flops=2 * n_offsets * k * math.prod(shape),
+        bytes_accessed=(
+            math.prod(shape) * dtype.itemsize * (win1 + pw) // pw
+        ),
+        transcendentals=0,
+    )
+
+    call_inputs = [jnp.asarray(x, dtype)]
+    if global_start is not None:
+        for d in range(rank):
+            call_inputs.append(
+                jnp.asarray(global_start[d], jnp.int32).reshape(1, 1)
+            )
+    call_inputs.extend(jnp.asarray(s).reshape(1, 1) for s in scalars)
+    kwargs = {}
+    est_bytes = win1 * dtype.itemsize * (7 * slab + 10 * hp)
+    if not interpret and est_bytes > 14 * 1024 * 1024:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_panels, n_slabs),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct(shape, dtype),
+        scratch_shapes=scratch_shapes,
+        cost_estimate=cost,
+        interpret=interpret,
+        **kwargs,
+    )(*call_inputs)
 
 
 # ---------------------------------------------------------------------------

@@ -384,3 +384,67 @@ class TestFusedSweeps3D:
                 ((0, 0, -2), 0.1), ((0, 0, 2), 0.1)]
         m = jacobi_module_3d(96, 64, 256, offs)
         run_both(m, (96, 64, 256), 3)
+
+
+class TestTwoLevelWindow:
+    """Two-level (slab x panel) window for rows too wide for a profitable
+    one-level slab (ROADMAP: first appears past 8192^2 f32 at h0=2, K>8).
+    Triggered here at small scale by shrinking the VMEM budgets."""
+
+    @pytest.fixture()
+    def tiny_budgets(self):
+        d, w = pallas_multisweep._VMEM_BUDGET, pallas_multisweep._VMEM_BUDGET_WIDE
+        pallas_multisweep._VMEM_BUDGET = 1900 * 1024
+        pallas_multisweep._VMEM_BUDGET_WIDE = 1900 * 1024
+        yield
+        pallas_multisweep._VMEM_BUDGET = d
+        pallas_multisweep._VMEM_BUDGET_WIDE = w
+
+    def test_plan_at_wide_rows(self):
+        # the real trigger scales, planning only (no compute): at default
+        # budgets 8192-wide h0=2 rows cannot reach slab >= 4*hp past K=8
+        for n, k in [(8192, 16), (8192, 24), (16384, 16)]:
+            m = jacobi_module(n, n, WIDE)
+            plan = pallas_multisweep.sweeps_plan(m, "op", k)
+            assert plan is not None and plan.get("two_level"), (n, k, plan)
+            assert plan["slab"] >= 4 * plan["hp"]
+            assert n % plan["pw"] == 0 and plan["pw"] % 128 == 0
+            # column halo padded to the lane tile and wide enough for creep
+            assert plan["hp1c"] % 128 == 0 and plan["hp1c"] >= k * plan["h1"]
+            # column overhead capped at 1.5x
+            assert 2 * plan["win1"] <= 3 * plan["pw"]
+            assert pallas_multisweep.best_depth(m, "op", k) is not None
+        # moderate widths keep the one-level window
+        m = jacobi_module(4096, 4096, WIDE)
+        plan = pallas_multisweep.sweeps_plan(m, "op", 16)
+        assert plan is not None and not plan.get("two_level")
+
+    def test_matches_oracle(self, tiny_budgets):
+        m = jacobi_module(256, 1024, WIDE)
+        plan = pallas_multisweep.sweeps_plan(m, "op", 8)
+        assert plan is not None and plan.get("two_level"), plan
+        assert plan["pw"] < 1024  # genuinely multi-panel
+        run_both(m, (256, 1024), 8)
+
+    def test_matches_oracle_with_scalars(self, tiny_budgets):
+        m = jacobi_module(256, 1024, WIDE, n_scalars=1)
+        plan = pallas_multisweep.sweeps_plan(m, "op", 8)
+        assert plan is not None and plan.get("two_level"), plan
+        run_both(m, (256, 1024), 8, n_scalars=1)
+
+    def test_dim0_only_stencil_no_column_halo(self, tiny_budgets):
+        # h1 = 0: panels carry no column halo at all (hp1c = 0) but still
+        # shrink the row working set
+        offs = [((0, 0), 0.6), ((-2, 0), 0.2), ((2, 0), 0.2)]
+        m = jacobi_module(256, 1024, offs)
+        plan = pallas_multisweep.sweeps_plan(m, "op", 8)
+        assert plan is not None and plan.get("two_level"), plan
+        assert plan["hp1c"] == 0 and plan["win1"] == plan["pw"]
+        run_both(m, (256, 1024), 8)
+
+    def test_asymmetric_offsets(self, tiny_budgets):
+        offs = [((0, 0), 0.5), ((-2, 1), 0.2), ((1, -2), 0.3)]
+        m = jacobi_module(256, 1024, offs)
+        plan = pallas_multisweep.sweeps_plan(m, "op", 8)
+        assert plan is not None and plan.get("two_level"), plan
+        run_both(m, (256, 1024), 8)
