@@ -262,6 +262,43 @@ def full_suite(results=None):
         "kernel": "temporal-blocking multisweep (K sweeps per HBM pass)",
     }
 
+    # config 1b2: two-level window — a wide 4th-order stencil at a row
+    # width (8192) where the one-level slab misses the 4*hp bar, routed
+    # through the (slab x panel) kernel (see pallas_multisweep)
+    try:
+        n8, K8 = 8192, 16
+        ntp.reset_context()
+
+        @ntp.nonlinear_op_def(
+            bounds=([0, 0], [n8, n8]),
+            interior=([2, 2], [n8 - 2, n8 - 2]),
+            dtype="float32",
+            name="adv4_wide",
+        )
+        def adv4_wide(u):
+            dudx = (-u[2, 0] + 8.0 * u[1, 0] - 8.0 * u[-1, 0] + u[-2, 0]) / 12.0
+            dudy = (-u[0, 2] + 8.0 * u[0, 1] - 8.0 * u[0, -1] + u[0, -2]) / 12.0
+            return u[0, 0] - 0.1 * (0.7 * dudx + 0.3 * dudy)
+
+        from neptune_tpu.lowering import pallas_multisweep as _ms
+
+        cm8 = ntp.get_context().compiled()
+        plan8 = _ms.sweeps_plan(cm8.module, "adv4_wide", K8)
+        x8 = jnp.asarray(
+            np.random.default_rng(1).standard_normal((n8, n8)).astype(np.float32)
+        )
+        fused8 = cm8.sweeps("adv4_wide", K8)
+        dt = timed_sweep(fused8, x8, 2, 6)
+        results["advection4_2d_8192_twolevel_k16"] = {
+            "us_per_sweep": dt / K8 * 1e6,
+            "gcell_per_s": n8 * n8 * K8 / dt / 1e9,
+            "frac_of_single_sweep_roofline": (n8 * n8 * K8 / dt) / ROOFLINE_CELLS,
+            "two_level": bool(plan8 and plan8.get("two_level")),
+            "kernel": "two-level (slab x panel) multisweep, h0=2 K=16",
+        }
+    except Exception as e:  # never let one config sink the sweep
+        results["advection4_2d_8192_twolevel_k16"] = {"error": repr(e)[:200]}
+
     # config 1c: VMEM-resident temporal blocking at a VMEM-scale size
     make_jacobi_2d(1024)
     fused_r = ntp.get_context().compiled().sweeps("jacobi", 16)
