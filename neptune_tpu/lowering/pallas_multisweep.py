@@ -879,18 +879,34 @@ def local_window_plan(op: Operation, shape, k: int) -> Optional[dict]:
     if hp > _MAX_HP:
         return None
     dtype = jnp.dtype(out_type.element)
+    if shape[-1] < 128 or math.prod(shape) < 64 * 128:
+        return None
     row_bytes = math.prod(shape[1:]) * dtype.itemsize
     slab = (
         _pick_slab_rank2(shape[0], row_bytes, hp)
         if rank == 2
         else _pick_slab(shape[0], row_bytes, hp, rank)
     )
+    if rank == 2 and (slab is None or slab < 4 * hp):
+        # local rows too wide for a profitable one-level slab: two-level
+        # panels (clamp/roll garbage at block edges still lands within
+        # K*reach of the edge in BOTH dims — the zones the sharded caller
+        # recomputes from exchanged strips)
+        h1 = halos[1]
+        two = _pick_panels(shape[0], shape[1], dtype.itemsize, hp, h1, k)
+        if two is not None:
+            slab2, pw, hp1c, win1 = two
+            win = slab2 + 2 * hp
+            if win <= shape[0] and slab2 >= hp:
+                return {
+                    "slab": slab2, "hp": hp, "win": win, "h0": h0,
+                    "two_level": True, "pw": pw, "hp1c": hp1c,
+                    "win1": win1, "h1": h1,
+                }
     if slab is None:
         return None
     win = slab + 2 * hp
     if win > shape[0] or slab < hp:
-        return None
-    if shape[-1] < 128 or math.prod(shape) < 64 * 128:
         return None
     return {"slab": slab, "hp": hp, "win": win, "h0": h0}
 
@@ -912,6 +928,7 @@ def execute_sweeps_window_local(
     """
     plan = local_window_plan(op, tuple(x.shape), k)
     assert plan is not None, "execute_sweeps_window_local on ineligible input"
-    return _sweeps_window_impl(
+    impl = _sweeps_window2_impl if plan.get("two_level") else _sweeps_window_impl
+    return impl(
         op, x, scalars, k, plan, global_start=global_start, interpret=interpret
     )

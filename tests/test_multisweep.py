@@ -448,3 +448,53 @@ class TestTwoLevelWindow:
         plan = pallas_multisweep.sweeps_plan(m, "op", 8)
         assert plan is not None and plan.get("two_level"), plan
         run_both(m, (256, 1024), 8)
+
+    def test_sharded_local_two_level(self, tiny_budgets):
+        # shardmap_sweeps routes wide LOCAL blocks through the two-level
+        # window too; clamp/roll garbage in both dims must land inside the
+        # K*reach zones the band fixups recompute — the result must match
+        # K applications of the exchanged matvec exactly where the
+        # per-sweep oracle does
+        import jax
+        import jax.numpy as jnp
+
+        import neptune_tpu as ntp
+        from neptune_tpu.parallel import (
+            GridMesh, shardmap_opdef, shardmap_sweeps,
+        )
+
+        ntp.reset_context()
+        n0, n1, k = 512, 1024, 8
+
+        @ntp.nonlinear_op_def(
+            bounds=([0, 0], [n0, n1]), interior=([2, 2], [n0 - 2, n1 - 2]),
+            dtype="float32",
+        )
+        def adv4(u):
+            dudx = (-u[2, 0] + 8.0 * u[1, 0] - 8.0 * u[-1, 0] + u[-2, 0]) / 12.0
+            dudy = (-u[0, 2] + 8.0 * u[0, 1] - 8.0 * u[0, -1] + u[0, -2]) / 12.0
+            return u[0, 0] - 0.1 * (0.7 * dudx + 0.3 * dudy)
+
+        cm = ntp.get_context().compiled()
+        gm = GridMesh((2,), ("x",), devices=jax.devices()[:2])
+        # the 256 x 1024 local block takes the two-level route
+        op = pallas_multisweep.find_sweep_apply(cm.module, "adv4")
+        lp = pallas_multisweep.local_window_plan(op, (256, 1024), k)
+        assert lp is not None and lp.get("two_level"), lp
+
+        rng = np.random.default_rng(9)
+        x = rng.standard_normal((n0, n1)).astype(np.float32)
+        xs = gm.shard(jnp.asarray(x))
+        mv = shardmap_opdef(cm, "adv4", gm)
+        y_ref = xs
+        for _ in range(k):
+            y_ref = mv(y_ref)
+        config.pallas_interpret = True
+        try:
+            y = shardmap_sweeps(cm, "adv4", gm, k)(xs)
+        finally:
+            config.pallas_interpret = False
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y_ref), atol=1e-5
+        )
+        ntp.reset_context()
