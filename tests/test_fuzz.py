@@ -279,3 +279,81 @@ def test_multisweep_vs_loop_random_programs(case):
         y, y_ref, atol=1e-5,
         err_msg=f"case {case}: fused k={k} sweeps diverged (h={h})",
     )
+
+
+@pytest.mark.parametrize("case", range(8))
+def test_two_level_window_random_programs(case):
+    """Random operators forced through the two-level (slab x panel) window
+    by shrunken VMEM budgets: must equal K single applies, across random
+    stencil reaches, grid shapes, and fused depths."""
+    from neptune_tpu.lowering import pallas_multisweep
+
+    rng = np.random.default_rng(5000 + case)
+    n0 = int(rng.choice([128, 256]))
+    n1 = int(rng.choice([1024, 1536, 2048]))
+    k = int(rng.integers(4, 10))
+    bounds = Bounds.of((0, 0), (n0, n1))
+    from neptune_tpu.ir import F32
+
+    tt = TempType("float32", bounds)
+    n_off = int(rng.integers(2, 5))
+    offsets = [
+        (int(rng.integers(-2, 3)), int(rng.integers(-2, 3)))
+        for _ in range(n_off)
+    ] + [(0, 0), (1, 0)]
+    h = [max(abs(o[d]) for o in offsets) for d in (0, 1)]
+    interior = Bounds.of((h[0], h[1]), (n0 - h[0], n1 - h[1]))
+
+    b = NeptuneBuilder()
+    fn = b.make_opdef("tl", "nonlinear_opdef", [tt], [tt])
+    b.push_block(fn.body)
+    op, body = b.start_apply([fn.body.args[0]], interior)
+    b.push_block(body)
+    acc = None
+    for off in offsets:
+        t = b.mul(
+            b.unary_math("tanh", b.access(body.args[2], off)),
+            b.constant(float(rng.uniform(-0.3, 0.3)), F32),
+        )
+        acc = t if acc is None else b.add(acc, t)
+    b.yield_(acc)
+    b.pop_block()
+    b.return_([b.finish_apply(op)])
+    b.pop_block()
+
+    cm = compile_ir(b.module, backend="auto")
+    d0, w0 = pallas_multisweep._VMEM_BUDGET, pallas_multisweep._VMEM_BUDGET_WIDE
+    budget = int(rng.choice([900, 1400, 1900])) * 1024
+    pallas_multisweep._VMEM_BUDGET = budget
+    pallas_multisweep._VMEM_BUDGET_WIDE = budget
+    try:
+        plan = pallas_multisweep.sweeps_plan(cm.module, "tl", k)
+        if plan is None or not plan.get("two_level"):
+            pytest.skip(
+                f"case {case}: no two-level geometry (k={k}, h={h}, "
+                f"n=({n0},{n1}), budget={budget})"
+            )
+        x = rng.standard_normal((n0, n1)).astype(np.float32)
+        one = cm.opdef("tl")
+        y_ref = x
+        for _ in range(k):
+            y_ref = np.asarray(one(y_ref), np.float32)
+        config.pallas_interpret = True
+        try:
+            y = np.asarray(
+                pallas_multisweep.execute_sweeps(
+                    cm.module, "tl", x, [], k, interpret=True
+                )
+            )
+        finally:
+            config.pallas_interpret = False
+    finally:
+        pallas_multisweep._VMEM_BUDGET = d0
+        pallas_multisweep._VMEM_BUDGET_WIDE = w0
+    np.testing.assert_allclose(
+        y, y_ref, atol=1e-5,
+        err_msg=(
+            f"case {case}: two-level k={k} sweeps diverged "
+            f"(h={h}, plan={ {kk: vv for kk, vv in plan.items() if kk != 'op'} })"
+        ),
+    )
