@@ -883,8 +883,26 @@ def core_table():
         "vs_baseline": round(cells / TARGET_CELLS, 3),
     })
 
+    # multi-chip 3-D stencil path (BASELINE row 5: "multi-chip 3D stencil
+    # + GMRES, automatic halo exchange" — same code path on the 1-dev mesh;
+    # multi-device execution validated by __graft_entry__.dryrun_multichip)
+    m3 = 256
+    ntp.reset_context()
+    make_heat_3d(m3)
+    cm3 = ntp.get_context().compiled()
+    x3 = jnp.asarray(rng.standard_normal((m3, m3, m3)).astype(np.float32))
+    mv3 = shardmap_opdef(cm3, "heat", gm, backend="jnp")
+    dt = timed_sweep(mv3, x3, 20, 100)
+    cells = m3**3 / dt
+    lines.append({
+        "metric": "sharded 3D 7-pt heat (256^3 f32, shard_map fused strips, 1-dev)",
+        "value": round(cells / 1e9, 2),
+        "unit": "Gcell/s",
+        "vs_baseline": round(cells / TARGET_CELLS, 3),
+    })
+
     # s-step CA-CG (one exchange + one psum per s iterations)
-    from neptune_tpu.parallel import cg_sharded
+    from neptune_tpu.parallel import cg_sharded, gmres_sharded
 
     nc, s_steps = 256, 8
     cmc, bb, lmin, _lmax = _ca_poisson_256()
@@ -903,6 +921,36 @@ def core_table():
         "vs_baseline": round(int(info.iters) / dt / 1e5, 3),
         "iters": int(info.iters),
         "converged": bool(info.converged),
+    })
+
+    # sharded CA-GMRES — the reference's DEFAULT KSP (NeptunePETScRuntime
+    # .cpp:146-149) in communication-avoiding form (BASELINE row 5's GMRES
+    # half, driver-captured)
+    solve = jax.jit(
+        gmres_sharded(
+            cmc, "lap_cacg", gm, s=8, maxiter=2000, tol=1e-4,
+            basis="chebyshev", lam_min=lmin, lam_max=8.0,
+        )
+    )
+    info, dt = _timed_ca_solve(solve, bbs)
+    lines.append({
+        "metric": "CA-GMRES(8) iters/sec (256^2 Poisson f32, tol 1e-4)",
+        "value": round(int(info.iters) / dt, 0),
+        "unit": "iters/s",
+        "vs_baseline": round(int(info.iters) / dt / 1e5, 3),
+        "iters": int(info.iters),
+        "converged": bool(info.converged),
+    })
+
+    # f64 accuracy vs the native C++ oracle (BASELINE "match reference CPU
+    # outputs to 1e-10" row; x64 subprocess keeps x64 out of this process)
+    e = _x64_subprocess_entry("f64_accuracy_entry")
+    lines.append({
+        "metric": "f64 implicit-heat max|diff| vs native C++ runtime (48^2, GMRES 1e-12)",
+        "value": e.get("max_abs_diff_vs_native_cpp", -1),
+        "unit": "max abs diff",
+        "vs_baseline": 1.0 if e.get("within_1e-10") else 0.0,
+        **({"error": e["error"]} if "error" in e else {}),
     })
 
     # mixed-precision CG to 1e-10 (x64 subprocess; f32 inner + f64 refine)
