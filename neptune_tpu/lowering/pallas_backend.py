@@ -901,6 +901,24 @@ def window_supported(op: Operation, ext_shape) -> bool:
         return False
     if math.prod(ext_shape) < 64 * 128:
         return False
+    # execute_apply_window raises when the dim-0 halo exceeds its slab
+    # (very wide rows force _pick_slab to the 8-row floor); gate on the
+    # same arithmetic so sharded callers fall back to jnp instead of
+    # crashing at shard_map trace time
+    out_type: TempType = op.results[0].type
+    sshape: StencilShape = op.attrs.get("shape") or StencilShape(())
+    rank = out_type.bounds.rank
+    halo = (
+        sshape.halo() if sshape.offsets else tuple((0, 0) for _ in range(rank))
+    )
+    h0 = max(halo[0]) if halo else 0
+    if h0 > 0:
+        n_in = op.attrs.get("num_inputs", len(op.operands))
+        row_bytes = (
+            math.prod(ext_shape[1:]) * jnp.dtype(out_type.element).itemsize
+        )
+        if h0 > _pick_slab(ext_shape[0], row_bytes, 3 * max(n_in, 1)):
+            return False
     return True
 
 

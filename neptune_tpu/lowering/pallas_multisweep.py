@@ -165,6 +165,12 @@ def _pick_slab(
     2 scratch windows + ~3 live window values + 2 out blocks."""
     if budget is None:
         budget = _VMEM_BUDGET if rank == 2 else _VMEM_BUDGET_3D
+    # the kernel's pl.multiple_of(window_start, 8) proof needs slab, hp,
+    # and extent0-win all 8-aligned, which requires extent0 itself to be:
+    # a non-8-multiple extent could otherwise admit a misaligned slab
+    # (e.g. 500 rows -> slab=100, interior window starts at 92, 192, ...)
+    if extent0 % 8:
+        return None
     # (5*win + 2*slab) * row_bytes <= budget, win = slab + 2*hp
     s = (budget // max(row_bytes, 1) - 10 * hp) // 7
     # the window (slab + 2*hp rows) must fit inside the array
@@ -219,23 +225,17 @@ def _pick_panels(extent0, extent1, itemsize, hp, h1, k):
     return None
 
 
-def sweeps_plan(module: Module, name: str, k: int) -> Optional[dict]:
-    """Geometry for a K-sweep fused kernel, or None if ineligible."""
-    op = find_sweep_apply(module, name)
-    if op is None or k < 2:
-        return None
-    out_type: TempType = op.results[0].type
-    shape = out_type.bounds.shape
+def _plan_geometry(shape, halos, k: int, itemsize: int) -> Optional[dict]:
+    """Slab / two-level window geometry shared by the whole-grid
+    (`sweeps_plan`) and sharded-local (`local_window_plan`) planners."""
     rank = len(shape)
-    sshape: StencilShape = op.attrs["shape"]
-    h0 = max(sshape.halo()[0])
+    h0 = halos[0]
     hp = ((k * h0 + 7) // 8) * 8
     if hp > _MAX_HP:
         return None
-    dtype = jnp.dtype(out_type.element)
     if shape[-1] < 128 or math.prod(shape) < 64 * 128:
         return None
-    row_bytes = math.prod(shape[1:]) * dtype.itemsize
+    row_bytes = math.prod(shape[1:]) * itemsize
     slab = (
         _pick_slab_rank2(shape[0], row_bytes, hp)
         if rank == 2
@@ -244,16 +244,15 @@ def sweeps_plan(module: Module, name: str, k: int) -> Optional[dict]:
     if rank == 2 and (slab is None or slab < 4 * hp):
         # rows too wide for a profitable one-level slab even at the
         # escalated budget: tile dim 1 into haloed panels too
-        h1 = max(sshape.halo()[1])
-        two = _pick_panels(shape[0], shape[1], dtype.itemsize, hp, h1, k)
+        two = _pick_panels(shape[0], shape[1], itemsize, hp, halos[1], k)
         if two is not None:
             slab2, pw, hp1c, win1 = two
             win = slab2 + 2 * hp
             if win <= shape[0] and slab2 >= hp:
                 return {
-                    "op": op, "slab": slab2, "hp": hp, "win": win,
-                    "h0": h0, "two_level": True, "pw": pw,
-                    "hp1c": hp1c, "win1": win1, "h1": h1,
+                    "slab": slab2, "hp": hp, "win": win, "h0": h0,
+                    "two_level": True, "pw": pw, "hp1c": hp1c,
+                    "win1": win1, "h1": halos[1],
                 }
     if slab is None:
         return None
@@ -262,7 +261,22 @@ def sweeps_plan(module: Module, name: str, k: int) -> Optional[dict]:
     # only the first/last slab shift), which needs slab >= hp
     if win > shape[0] or slab < hp:
         return None
-    return {"op": op, "slab": slab, "hp": hp, "win": win, "h0": h0}
+    return {"slab": slab, "hp": hp, "win": win, "h0": h0}
+
+
+def sweeps_plan(module: Module, name: str, k: int) -> Optional[dict]:
+    """Geometry for a K-sweep fused kernel, or None if ineligible."""
+    op = find_sweep_apply(module, name)
+    if op is None or k < 2:
+        return None
+    out_type: TempType = op.results[0].type
+    sshape: StencilShape = op.attrs["shape"]
+    halos = [max(h) for h in sshape.halo()]
+    g = _plan_geometry(
+        out_type.bounds.shape, halos, k,
+        jnp.dtype(out_type.element).itemsize,
+    )
+    return None if g is None else {"op": op, **g}
 
 
 # grids at or below this many bytes run the whole-array VMEM-resident
@@ -874,41 +888,12 @@ def local_window_plan(op: Operation, shape, k: int) -> Optional[dict]:
         return None
     if k < 2:
         return None
-    h0 = halos[0]
-    hp = ((k * h0 + 7) // 8) * 8
-    if hp > _MAX_HP:
-        return None
-    dtype = jnp.dtype(out_type.element)
-    if shape[-1] < 128 or math.prod(shape) < 64 * 128:
-        return None
-    row_bytes = math.prod(shape[1:]) * dtype.itemsize
-    slab = (
-        _pick_slab_rank2(shape[0], row_bytes, hp)
-        if rank == 2
-        else _pick_slab(shape[0], row_bytes, hp, rank)
+    # two-level note: clamp/roll garbage at block edges still lands
+    # within K*reach of the edge in BOTH dims — the zones the sharded
+    # caller recomputes from exchanged strips
+    return _plan_geometry(
+        tuple(shape), halos, k, jnp.dtype(out_type.element).itemsize
     )
-    if rank == 2 and (slab is None or slab < 4 * hp):
-        # local rows too wide for a profitable one-level slab: two-level
-        # panels (clamp/roll garbage at block edges still lands within
-        # K*reach of the edge in BOTH dims — the zones the sharded caller
-        # recomputes from exchanged strips)
-        h1 = halos[1]
-        two = _pick_panels(shape[0], shape[1], dtype.itemsize, hp, h1, k)
-        if two is not None:
-            slab2, pw, hp1c, win1 = two
-            win = slab2 + 2 * hp
-            if win <= shape[0] and slab2 >= hp:
-                return {
-                    "slab": slab2, "hp": hp, "win": win, "h0": h0,
-                    "two_level": True, "pw": pw, "hp1c": hp1c,
-                    "win1": win1, "h1": h1,
-                }
-    if slab is None:
-        return None
-    win = slab + 2 * hp
-    if win > shape[0] or slab < hp:
-        return None
-    return {"slab": slab, "hp": hp, "win": win, "h0": h0}
 
 
 

@@ -138,34 +138,32 @@ def chebyshev_sharded(
                     rho_prev = rho
                 return x, r, d, rho_prev
 
+            def true_residual(xc):
+                """b - A·x with a 1x-reach exchange + band fixup (one
+                extra matvec). Used three ways: to seed the recurrence,
+                to rebase it at every check boundary (what keeps the long
+                f32 recurrence drift-free), and for the final report — so
+                resnorm is never the drifted recurrence value."""
+                ts, te, td = _strip_exchange(
+                    [xc], nloc, rank, names, need, periodic
+                )
+                Ax = matvec_block(xc, gstart, nloc)
+                (Ax,) = _run_band_fixups(
+                    [Ax], 1, ts, te, td, need, nloc, rank, gstart,
+                    lambda bands, zone: [
+                        matvec_block(bb, zone.bases, bb.shape)
+                        for bb in bands
+                    ],
+                )
+                return bl - Ax
+
             # ---- initial step (matches solvers.chebyshev's first move) ----
-            # r0 = b - A*0 = b; d0 = z0/theta; x1 = d0; r1 = r0 - A d0.
-            # A d0 is a single sharded application: main + band fixup at
-            # 1x reach via the generic machinery would duplicate code; since
-            # d0 = M b / theta is pointwise in b, exchange d0's strips
-            # directly instead.
+            # r0 = b - A*0 = b; d0 = z0/theta; x1 = d0; r1 = r0 - A d0
+            # = true_residual(x1) since x1 = d0
             z0 = Mz(bl, idl)
             d0 = z0 / theta
             x = d0
-            sd_strips, sd_ext, sd_dims = _strip_exchange(
-                [d0], nloc, rank, names, need, periodic
-            )
-            Ad0 = matvec_block(d0, gstart, nloc)
-            (Ad0,) = _run_band_fixups(
-                [Ad0],
-                1,
-                sd_strips,
-                sd_ext,
-                sd_dims,
-                need,
-                nloc,
-                rank,
-                gstart,
-                lambda bands, zone: [
-                    matvec_block(b, zone.bases, b.shape) for b in bands
-                ],
-            )
-            r = bl - Ad0
+            r = true_residual(x)
             # concrete dtype for the fori_loop carry (weak-typed python
             # scalars would change type after one chunk)
             rho_prev = jnp.asarray(1.0 / sigma1, dtype)
@@ -222,24 +220,6 @@ def chebyshev_sharded(
                     if nm:
                         v = lax.psum(v, nm)
                 return v
-
-            def true_residual(xc):
-                """b - A·x with a 1x-reach exchange + band fixup (one
-                extra matvec; the rebase is what keeps the long f32
-                recurrence drift-free, and the final report always uses
-                it so resnorm is never the drifted recurrence value)."""
-                ts, te, td = _strip_exchange(
-                    [xc], nloc, rank, names, need, periodic
-                )
-                Ax = matvec_block(xc, gstart, nloc)
-                (Ax,) = _run_band_fixups(
-                    [Ax], 1, ts, te, td, need, nloc, rank, gstart,
-                    lambda bands, zone: [
-                        matvec_block(bb, zone.bases, bb.shape)
-                        for bb in bands
-                    ],
-                )
-                return bl - Ax
 
             if check_every <= 0:
                 x, r, d0, rho_prev = lax.fori_loop(

@@ -78,8 +78,11 @@ def build_inkernel_matvec(module: Module, name: str) -> Callable:
                     iv = jax.lax.broadcasted_iota(jnp.int32, outer.shape, d)
                     return iv + outer.lb[d]
 
+                # runs inside the fused-CG pallas_call: a performance path,
+                # exempt from the pinned-arithmetic fence (config.py)
                 ys = jnp_backend.eval_scalar_dag(
-                    op.region(0), outer.rank, n_in, access_fn, index_fn, scalars
+                    op.region(0), outer.rank, n_in, access_fn, index_fn,
+                    scalars, pinned=False,
                 )
                 y = jnp.asarray(ys[0], x.dtype)
                 y = jnp.broadcast_to(y, outer.shape)

@@ -498,3 +498,48 @@ class TestTwoLevelWindow:
             np.asarray(y), np.asarray(y_ref), atol=1e-5
         )
         ntp.reset_context()
+
+
+class TestPlannerAlignment:
+    def test_non_8_multiple_extent_rejected(self):
+        # review finding: a 500-row grid used to get slab=100 (interior
+        # window starts 92, 192, ... — misaligned for the sublane-tiled
+        # HBM DMA, falsifying the kernel's pl.multiple_of(w, 8) proof)
+        assert pallas_multisweep._pick_slab(500, 2048, 8, 2) is None
+        assert pallas_multisweep._pick_slab(250, 2048, 8, 2) is None
+        # 8-multiple extents keep their slabs
+        assert pallas_multisweep._pick_slab(512, 2048, 8, 2) is not None
+        # ... and a non-8-multiple grid still computes correctly via the
+        # fallback (500 rows: sweeps() must route around the window)
+        m = jacobi_module(500, 256, FIVE_POINT)
+        cm = compile_ir(m, backend="auto")
+        assert pallas_multisweep.sweeps_plan(cm.module, "op", 4) is None
+        rng = np.random.default_rng(11)
+        x = rng.standard_normal((500, 256)).astype(np.float32)
+        one = cm.opdef("op")
+        y_ref = x
+        for _ in range(4):
+            y_ref = np.asarray(one(y_ref), np.float32)
+        config.pallas_interpret = True
+        try:
+            y = np.asarray(cm.sweeps("op", 4)(x))
+        finally:
+            config.pallas_interpret = False
+        np.testing.assert_allclose(y, y_ref, atol=1e-5)
+
+    def test_window_supported_gates_halo_vs_slab(self):
+        # review finding: window_supported never checked that a feasible
+        # slab >= h0 exists, so wide rows + large h0 reached the
+        # "window halo exceeds slab" raise during shard_map tracing
+        from neptune_tpu.lowering import pallas_backend
+
+        # h0 = 9 stencil over very wide rows (64KB/row -> 8-row slab)
+        offs = [((0, 0), 0.4), ((-9, 0), 0.3), ((9, 0), 0.3)]
+        m = jacobi_module(64, 16384, offs)
+        op = pallas_multisweep.find_sweep_apply(m, "op")
+        assert op is not None
+        assert not pallas_backend.window_supported(op, (64, 16384))
+        # normal geometry still supported
+        m2 = jacobi_module(128, 256, FIVE_POINT)
+        op2 = pallas_multisweep.find_sweep_apply(m2, "op")
+        assert pallas_backend.window_supported(op2, (128, 256))
