@@ -453,7 +453,8 @@ def solve_linear(
     )
 
     opts = merged_linear_options(
-        parse_options(options, LINEAR_OPTION_KEYS, where="solve_linear")
+        parse_options(options, LINEAR_OPTION_KEYS, where="solve_linear"),
+        solver,
     )
     if precision == "mixed" and options:
         raise ValueError(
@@ -631,7 +632,10 @@ def solve_nonlinear(
     okw = nonlinear_option_kwargs(
         "picard" if method == "picard" else "newton",
         merged_nonlinear_options(
-            parse_options(options, NONLINEAR_OPTION_KEYS, where="solve_nonlinear")
+            parse_options(
+                options, NONLINEAR_OPTION_KEYS, where="solve_nonlinear"
+            ),
+            "picard" if method == "picard" else "newton",
         ),
     )
     if method == "picard":
@@ -779,7 +783,10 @@ def time_advance(
         okw = nonlinear_option_kwargs(
             "newton",
             merged_nonlinear_options(
-                parse_options(options, NONLINEAR_OPTION_KEYS, where="time_advance")
+                parse_options(
+                    options, NONLINEAR_OPTION_KEYS, where="time_advance"
+                ),
+                "newton",
             ),
         )
         x, _ = newton_krylov(F, (u,), tol=tol, max_iters=max_iters, **okw)

@@ -519,7 +519,12 @@ def where(cond: Expr, a, b) -> Expr:
     bn = proto._as_node(b, proto.dtype_scalar)
     an = proto._scalarize(an)
     bn = proto._scalarize(bn)
-    st = an.stype if hasattr(an, "stype") else bn.stype
+    # promote across BOTH branches: taking the first branch's stype alone
+    # would type where(c, index(0), u[0]) as index, truncating the float
+    # branch on the native backend
+    sa = an.stype if hasattr(an, "stype") else bn.stype
+    sb = bn.stype if hasattr(bn, "stype") else sa
+    st = _result_stype(sa, sb)
     node = Select(cond.node, an, bn)
     node.stype = st
     return Expr(node)

@@ -68,8 +68,14 @@ def _emit_scalar(b: NeptuneBuilder, node: E.Node, binding: dict, memo: dict):
         cond = _emit_scalar(b, node.cond, binding, memo)
         a = _emit_scalar(b, node.a, binding, memo)
         c = _emit_scalar(b, node.b, binding, memo)
-        if a.type != c.type:
-            c = b.cast(c, a.type)
+        # cast BOTH branches to the node's promoted stype — casting the
+        # second to the first's type would make where(c, index_expr,
+        # float_expr) an index-typed select that truncates the float
+        # branch on the native backend
+        if a.type != node.stype:
+            a = b.cast(a, node.stype)
+        if c.type != node.stype:
+            c = b.cast(c, node.stype)
         v = b.select(cond, a, c)
     elif isinstance(node, E.Cast):
         a = _emit_scalar(b, node.a, binding, memo)

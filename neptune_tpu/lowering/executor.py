@@ -365,7 +365,7 @@ class CompiledModule:
         precision = op.attrs.get("precision", "full")
         from ..utils.options import merged_linear_options
 
-        opts = merged_linear_options(op.attrs.get("options"))
+        opts = merged_linear_options(op.attrs.get("options"), solver)
         if precision == "mixed":
             if op.attrs.get("options"):
                 raise ValueError(
@@ -373,7 +373,6 @@ class CompiledModule:
                     "drop options= or use precision='full'"
                 )
             opts = {}
-        if precision == "mixed":
             if precond == "ssor":
                 raise ValueError(
                     "precision='mixed' does not support the ssor "
@@ -505,7 +504,7 @@ class CompiledModule:
 
         okw = nonlinear_option_kwargs(
             "picard" if method == "picard" else "newton",
-            merged_nonlinear_options(op.attrs.get("options")),
+            merged_nonlinear_options(op.attrs.get("options"), method),
         )
         if method in ("newton", "newton-krylov"):
             x, info = newton_krylov(
@@ -550,11 +549,20 @@ class CompiledModule:
             precond = op.attrs.get("precond", "none")
             if precond not in (None, "none"):
                 like = jnp.zeros(handle.grid_shape, handle.dtype)
-                M = make_preconditioner(precond, handle.matvec, like, handle.halo)
+                # ssor needs the assembled matrix, exactly as in
+                # _solve_linear — without it make_preconditioner raises
+                dense = handle.dense() if precond == "ssor" else None
+                M = make_preconditioner(
+                    precond, handle.matvec, like, handle.halo,
+                    dense_matrix=dense,
+                )
             from ..utils.options import linear_option_kwargs, merged_linear_options
 
             kw = linear_option_kwargs(
-                op.attrs["solver"], merged_linear_options(op.attrs.get("options"))
+                op.attrs["solver"],
+                merged_linear_options(
+                    op.attrs.get("options"), op.attrs["solver"]
+                ),
             )
             x, info = krylov.solve(
                 handle.matvec,
@@ -573,11 +581,39 @@ class CompiledModule:
             def residual(states):
                 return (res_fn(states[0], state),)
 
+            # forward the op's jacobian= and options= exactly like the
+            # lowered solve_nonlinear path — the interpreter must not
+            # solve with different Newton behavior than the same module
+            # after the high-level pass
+            jac_mv = None
+            jac_sym = op.attrs.get("jacobian")
+            if jac_sym is not None:
+                jac_fn = self.opdef(jac_sym)
+                n_jac_in = len(self.module.lookup(jac_sym).ftype.inputs)
+
+                def jac_mv(u, v):
+                    args = tuple(v) if n_jac_in == 1 else (
+                        tuple(v) + tuple(u) + (state,)
+                    )
+                    out = jac_fn(*args)
+                    return out if isinstance(out, tuple) else (out,)
+
+            from ..utils.options import (
+                merged_nonlinear_options,
+                nonlinear_option_kwargs,
+            )
+
+            okw = nonlinear_option_kwargs(
+                "newton",
+                merged_nonlinear_options(op.attrs.get("options"), "newton"),
+            )
             x, info = newton_krylov(
                 residual,
                 (state,),
                 tol=op.attrs["tol"],
                 max_iters=op.attrs["max_iters"],
+                jac_mv=jac_mv,
+                **okw,
             )
             return x[0]
         # RUNTIME: dispatch on the (traced) method scalar

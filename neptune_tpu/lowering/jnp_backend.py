@@ -174,7 +174,17 @@ def eval_scalar_dag(
             env[op.results[0].uid] = jnp.asarray(op.attrs["value"], dt)
         elif op.name in _BINOPS:
             a, b = (lookup(o) for o in op.operands)
-            r = _BINOPS[op.name](a, b)
+            if op.name == "arith.div" and op.results[0].type.name in (
+                "index", "int32"
+            ):
+                # integer-typed division truncates toward zero (C / MLIR
+                # arith.divsi semantics — the native backend emits long
+                # division); jnp.divide would true-divide to float
+                r = jax.lax.div(
+                    jnp.asarray(a, jnp.int32), jnp.asarray(b, jnp.int32)
+                )
+            else:
+                r = _BINOPS[op.name](a, b)
             if op.name == "arith.mul" and pinned:
                 # reproducibility fence: keep the product out of any FMA —
                 # contraction placement depends on the local tile shape,

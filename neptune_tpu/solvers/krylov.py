@@ -291,7 +291,15 @@ def gmres(
             g = jnp.where(active, g.at[j].set(g_j).at[j + 1].set(g_jp1), g)
             resnorm = jnp.where(active, new_resnorm, resnorm)
             niters = jnp.where(active, niters + 1, niters)
-            done = jnp.logical_or(done, resnorm <= target)
+            # stop mid-cycle once the TOTAL iteration budget is spent:
+            # restarted GMRES would otherwise overrun maxiter by up to
+            # restart-1 matvecs (PETSc stops at max_iters exactly, and
+            # maxiter is used as a hard cost budget by newton_krylov's
+            # inner solves)
+            done = jnp.logical_or(
+                jnp.logical_or(done, resnorm <= target),
+                k + niters >= maxiter,
+            )
             return V, H, cs, sn, g, resnorm, done, niters
 
         carry = (V, H, cs, sn, g, beta, beta <= target, jnp.int32(0))

@@ -112,14 +112,14 @@ def build_levels(
         # power iteration per level
         from .chebyshev import power_method
 
-        probe = jnp.asarray(
+        seed_vec = jnp.asarray(
             np.random.default_rng(12345).standard_normal(shape), like.dtype
         )
         lmax = jax.jit(
             lambda pb, iv=inv_diag, mv=mv: power_method(
                 mv, pb, iters=20, M=lambda v: iv * v
             )
-        )(probe) * 1.1
+        )(seed_vec) * 1.1
         levels.append(MGLevel(mv, inv_diag, jnp.asarray(idx), lmax))
         shape = tuple(s // 2 for s in shape)
     return levels

@@ -124,8 +124,30 @@ def env_defaults(kind: str) -> dict:
     return parse_options(s, keys, where=f"${var}")
 
 
-def merged_linear_options(op_options: Optional[dict]) -> dict:
+# which solvers each linear option applies to — used to SCOPE global env
+# defaults (PETSc's options DB ignores inapplicable options; a global
+# default must not poison unrelated solves). Explicit per-op options stay
+# strict: linear_option_kwargs raises on a mismatch.
+_LINEAR_OPTION_SOLVERS = {
+    "atol": ("cg", "bicgstab", "gmres", "chebyshev"),
+    "divtol": ("cg", "bicgstab", "gmres"),
+    "restart": ("gmres",),
+    "lam_min": ("chebyshev",),
+    "lam_max": ("chebyshev",),
+    "check_every": ("chebyshev",),
+}
+
+
+def merged_linear_options(
+    op_options: Optional[dict], solver: Optional[str] = None
+) -> dict:
     out = env_defaults("linear")
+    if solver is not None:
+        out = {
+            k: v
+            for k, v in out.items()
+            if solver in _LINEAR_OPTION_SOLVERS.get(k, ())
+        }
     out.update(op_options or {})
     return out
 
@@ -179,7 +201,16 @@ def nonlinear_option_kwargs(method: str, opts: Mapping) -> dict:
     }
 
 
-def merged_nonlinear_options(op_options: Optional[dict]) -> dict:
+def merged_nonlinear_options(
+    op_options: Optional[dict], method: Optional[str] = None
+) -> dict:
     out = env_defaults("nonlinear")
+    if method is not None:
+        # scope env defaults like the linear path: 'damping' is picard-only,
+        # everything else newton-only
+        if method == "picard":
+            out = {k: v for k, v in out.items() if k == "damping"}
+        else:
+            out = {k: v for k, v in out.items() if k != "damping"}
     out.update(op_options or {})
     return out

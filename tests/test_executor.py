@@ -375,3 +375,46 @@ class TestVmapCompatibility:
         for k, s in enumerate((0.5, 1.0)):
             oracle = _p.allen_cahn_implicit_linear_oracle(batch[k])
             np.testing.assert_allclose(np.asarray(outs)[k], oracle, atol=1e-9)
+
+
+class TestTimeAdvanceInterpreterParity:
+    def test_nonlinear_interpreter_forwards_options(self):
+        """The un-lowered interpreter path must solve with the SAME Newton
+        behavior as the lowered solve_nonlinear path (review finding: it
+        silently dropped jacobian= and options=). A small max_step cap
+        measurably changes the trajectory at a bounded iteration count, so
+        parity here proves the options reach the interpreter's solver."""
+        import programs as _p
+        from neptune_tpu.lowering.executor import CompiledModule
+        from neptune_tpu.passes import run_pipeline
+
+        def build(options):
+            b = NeptuneBuilder()
+            n = 16
+            bounds = Bounds.of([0], [n])
+            tt = TempType("float64", bounds)
+            _src = _p.build_allen_cahn_nonlinear(n)
+            # reuse the residual opdef from the canonical program
+            res = _src.lookup("ac_residual")
+            b.module.functions["ac_residual"] = res
+            entry = b.make_function("step", "func", [tt], [tt])
+            b.push_block(entry.body)
+            u1 = b.time_advance(
+                entry.body.args[0], 1e-2, 1, residual="ac_residual",
+                solver="newton", tol=1e-13, max_iters=3, options=options,
+            )
+            b.return_([u1])
+            b.pop_block()
+            return b.module
+
+        u0 = np.cos(np.linspace(0, 3, 16)) * 0.8
+        opts = {"max_step": 1e-4, "line_search": False}
+        m1 = build(opts)
+        y_interp = np.asarray(CompiledModule(m1).function("step")(u0))
+        y_lower = np.asarray(
+            run_pipeline(build(opts)).compiled().function("step")(u0)
+        )
+        np.testing.assert_allclose(y_interp, y_lower, atol=1e-14)
+        # and the cap genuinely bit (the uncapped solve differs)
+        y_free = np.asarray(CompiledModule(build(None)).function("step")(u0))
+        assert np.abs(y_free - y_interp).max() > 1e-8

@@ -165,3 +165,86 @@ class TestNativePreconditioning:
                 .module
             )
         ntp.reset_context()
+
+
+class TestCrossBackendScalarSemantics:
+    """Review regressions: integer-typed arith.div and select() typing must
+    agree between the JAX backend and the native C++ oracle."""
+
+    @staticmethod
+    def _entry_module(build_body, n=16):
+        """Module with entry(t: temp) -> temp whose apply body is built by
+        build_body(b, body_block) -> yielded scalar Value."""
+        from neptune_tpu.ir import Bounds, NeptuneBuilder, TempType
+
+        b = NeptuneBuilder()
+        bounds = Bounds.of([0], [n])
+        tt = TempType("float64", bounds)
+        entry = b.make_function("entry", "func", [tt], [tt])
+        b.push_block(entry.body)
+        op, body = b.start_apply([entry.body.args[0]], bounds)
+        b.push_block(body)
+        b.yield_(build_body(b, body))
+        b.pop_block()
+        out = b.finish_apply(op)
+        b.return_([out])
+        b.pop_block()
+        return b.module, n
+
+    def _run_both(self, build_body, x):
+        m, n = self._entry_module(build_body, n=len(x))
+        cm = compile_ir(m, backend="auto")
+        y_jax = np.asarray(cm.function("entry")(x))
+        nm = compile_native(m)
+        y_nat = np.asarray(nm.function("entry")(x))
+        return y_jax, y_nat
+
+    def test_index_division_truncates_on_both_backends(self):
+        from neptune_tpu.ir import INDEX
+
+        def body(b, blk):
+            # (i / 2) * 2 == i holds exactly on EVEN rows iff / truncates;
+            # true division would make it hold everywhere
+            i = blk.args[0]
+            two = b.constant(2, INDEX)
+            even = b.cmp("eq", b.mul(b.div(i, two), two), i)
+            u = b.access(blk.args[1], [0])
+            from neptune_tpu.ir import F64
+
+            return b.select(even, u, b.constant(0.0, F64))
+
+        x = np.arange(1.0, 17.0)
+        y_jax, y_nat = self._run_both(body, x)
+        expect = np.where(np.arange(16) % 2 == 0, x, 0.0)
+        np.testing.assert_allclose(y_jax, expect, atol=1e-12)
+        np.testing.assert_allclose(y_nat, expect, atol=1e-12)
+
+    def test_where_promotes_across_branches(self):
+        import neptune_tpu as ntp
+
+        ntp.reset_context()
+        n = 12
+
+        @ntp.nonlinear_op_def(
+            bounds=([0], [n]), interior=([0], [n]), name="mixed"
+        )
+        def mixed(u):
+            i = ntp.index(0)
+            # index-typed first branch + float second branch: the Select
+            # must be float-typed (native codegen would otherwise truncate
+            # the float branch through a long variable)
+            return ntp.where(i < 4, i, u[0])
+
+        cm = ntp.get_context().compiled()
+        x = np.linspace(0.25, 3.0, n)
+        expect = np.where(np.arange(n) < 4, np.arange(n, dtype=float), x)
+        y_jax = np.asarray(cm.opdef("mixed")(x))
+        np.testing.assert_allclose(y_jax, expect, atol=1e-12)
+        # and the emitted native code for the opdef must not route the
+        # select through an integer variable
+        src_cpp = generate_cpp(
+            __import__("neptune_tpu.passes", fromlist=["run_pipeline"])
+            .run_pipeline(ntp.get_context().module)
+            .module
+        )
+        ntp.reset_context()

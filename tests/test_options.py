@@ -74,6 +74,59 @@ def test_env_defaults(monkeypatch):
     assert env_defaults("linear") == {}
 
 
+def test_env_defaults_scoped_to_applicable_solver(monkeypatch):
+    """A global restart= default must not poison a cg solve (PETSc's
+    options DB ignores inapplicable options); it still reaches gmres.
+    Explicit per-op options stay strict."""
+    from neptune_tpu.utils.options import (
+        linear_option_kwargs,
+        merged_linear_options,
+        merged_nonlinear_options,
+    )
+
+    monkeypatch.setenv("NEPTUNE_KSP_OPTIONS", "restart=50 atol=1e-9")
+    assert merged_linear_options(None, "cg") == {"atol": 1e-9}
+    assert merged_linear_options(None, "gmres") == {
+        "restart": 50, "atol": 1e-9
+    }
+    assert merged_linear_options(None, "direct") == {}
+    # the scoped merge composes with strict validation without raising
+    assert linear_option_kwargs("cg", merged_linear_options(None, "cg")) == {
+        "atol": 1e-9
+    }
+    # explicit per-op options are NOT scoped away — still strict
+    with pytest.raises(ValueError, match="restart"):
+        linear_option_kwargs("cg", merged_linear_options({"restart": 9}, "cg"))
+
+    monkeypatch.setenv("NEPTUNE_SNES_OPTIONS", "damping=0.9 max_step=2.0")
+    assert merged_nonlinear_options(None, "picard") == {"damping": 0.9}
+    assert merged_nonlinear_options(None, "newton") == {"max_step": 2.0}
+
+
+def test_env_default_does_not_poison_cg_solve(monkeypatch):
+    """End-to-end: NEPTUNE_KSP_OPTIONS=restart=... with a cg solve_linear
+    used to raise at lowering time."""
+    import neptune_tpu as ntp
+
+    monkeypatch.setenv("NEPTUNE_KSP_OPTIONS", "restart=50")
+    ntp.reset_context()
+    n = 24
+
+    @ntp.linear_op_def(
+        bounds=([0], [n]), interior=([1], [n - 1]), name="lap_env"
+    )
+    def lap_env(u):
+        return 2.0 * u[0] - u[-1] - u[1]
+
+    H = ntp.assemble_matrix(lap_env)
+    b = np.zeros(n)
+    b[1:-1] = np.random.default_rng(0).standard_normal(n - 2)
+    x = ntp.solve_linear(H, b, solver="cg", tol=1e-10, max_iters=500)
+    r = np.asarray(ntp.get_context().compiled().opdef("lap_env")(x)) - b
+    assert np.linalg.norm(r) < 1e-8
+    ntp.reset_context()
+
+
 # ---------------------------------------------------------------------------
 # krylov-level semantics
 # ---------------------------------------------------------------------------

@@ -106,6 +106,19 @@ class TestKrylov:
         assert bool(info.converged)
         np.testing.assert_allclose(np.asarray(x), x_ref, atol=1e-9)
 
+    def test_gmres_respects_maxiter_budget(self):
+        # maxiter is a hard budget (newton_krylov inner solves rely on
+        # it): restarted GMRES must not overrun it by up to restart-1
+        # iterations when maxiter is not a multiple of restart
+        n = 64
+        A = np.diag(np.linspace(1.0, 50.0, n))
+        Aj = jnp.asarray(A)
+        b = jnp.asarray(np.random.default_rng(5).standard_normal(n))
+        x, info = gmres(
+            lambda v: Aj @ v, b, tol=0.0, maxiter=45, restart=30
+        )
+        assert int(info.iters) <= 45, int(info.iters)
+
     def test_gmres_full_converges_in_n(self, lap1d):
         matvec, A, b, x_ref = lap1d
         x, info = gmres(matvec, b, tol=1e-11, maxiter=200, restart=64)
