@@ -41,9 +41,14 @@ class OpDef:
     (the reference decorator returns the bare name, `dsl.py:57`); calling it
     applies the operator (eagerly on arrays, as IR when tracing)."""
 
-    def __init__(self, name: str, kind: str):
+    def __init__(self, name: str, kind: str, captures=()):
         self.name = name
         self.kind = kind
+        # lexical temp captures appended to the traced signature
+        # (trace_kernel_into_opdef); calling the handle supplies them so
+        # the capture-closing @nonlinear_op_def workaround the linear
+        # error message recommends is actually callable
+        self.captures = tuple(captures)
 
     def __str__(self):
         return self.name
@@ -62,6 +67,25 @@ class OpDef:
         cm = get_context().compiled()
         return cm.module.lookup(self.name).attrs.get("halo", ())
 
+    def _capture_args(self, eager: bool):
+        out = []
+        for leaf in self.captures:
+            if eager:
+                if leaf.concrete is None:
+                    raise TypeError(
+                        f"@{self.name} captured a symbolic temp with no "
+                        "concrete value; pass it as a kernel argument"
+                    )
+                out.append(leaf.concrete)
+            else:
+                if getattr(leaf, "ir_value", None) is None:
+                    raise TypeError(
+                        f"@{self.name} captured a temp with no traced IR "
+                        "value; pass it as a kernel argument"
+                    )
+                out.append(leaf.ir_value)
+        return out
+
     def __call__(self, *args):
         ctx = get_context()
         if ctx.tracing and all(
@@ -69,7 +93,9 @@ class OpDef:
             for a in args
         ):
             b = ctx.builder
-            vals = [a.node.ir_value for a in args]
+            vals = [a.node.ir_value for a in args] + self._capture_args(
+                eager=False
+            )
             if self.kind == "linear_opdef":
                 out = b.apply_linear(self.name, vals)
             else:
@@ -77,7 +103,9 @@ class OpDef:
             if isinstance(out, tuple):
                 return tuple(Expr(E.TempLeaf(o.type, ir_value=o)) for o in out)
             return Expr(E.TempLeaf(out.type, ir_value=out))
-        arrays = [_concrete_array(a) for a in args]
+        arrays = [_concrete_array(a) for a in args] + self._capture_args(
+            eager=True
+        )
         return ctx.compiled().opdef(self.name)(*arrays)
 
     def matvec(self, x):
@@ -197,6 +225,7 @@ def _opdef_decorator(
             )
         if kind == "linear_opdef":
             if captures:
+                del ctx.module.functions[sym]  # don't leave a broken symbol
                 raise TypeError(
                     f"@linear_op_def {sym} captured temps "
                     f"{[c.name for c in captures]}; linear operators must be "
@@ -213,7 +242,7 @@ def _opdef_decorator(
                 del ctx.module.functions[sym]  # don't leave a broken symbol
                 raise
         ctx.bump()
-        return OpDef(sym, kind)
+        return OpDef(sym, kind, captures=captures)
 
     return decorator
 
@@ -468,7 +497,6 @@ def solve_linear(
                 "precision='mixed' does not support the ssor preconditioner "
                 "(no f32 assembled matrix); use precond='jacobi' or 'none'"
             )
-        from ..passes.retype import retype_module
         from ..solvers.refine import refined_solve
 
         ctx = get_context()

@@ -183,11 +183,17 @@ class Parser:
     # attributes
     # ------------------------------------------------------------------
 
+    def _peek_req(self, k=0):
+        t = self.lx.peek(k)
+        if t is None:
+            raise ParseError("unexpected end of input")
+        return t
+
     def parse_attr_value(self):
-        t = self.lx.peek()
+        t = self._peek_req()
         if t[1] == "[":
             # Bounds (`[a,b)` groups) or a plain nested list (`[[1, 1]]`)
-            if self.lx.peek(1)[1] == "[":
+            if self._peek_req(1)[1] == "[":
                 return self.parse_list()
             save = self.lx.i
             try:
@@ -279,7 +285,7 @@ class Parser:
 
     def parse_op(self) -> Operation:
         result_names = []
-        while self.lx.peek()[0] == "val":
+        while self._peek_req()[0] == "val":
             result_names.append(self.lx.next()[1])
             if not self.lx.accept(","):
                 break
@@ -359,19 +365,24 @@ class Parser:
         return op
 
     def parse_function(self) -> Function:
-        kw = self.lx.next()[1]
+        t = self.lx.next()
         kind = {
             "func": "func",
             "neptune.linear_opdef": "linear_opdef",
             "neptune.nonlinear_opdef": "nonlinear_opdef",
-        }[kw]
+        }.get(t[1])
+        if kind is None:
+            line = self.lx.text.count("\n", 0, t[2]) + 1
+            raise ParseError(
+                f"line {line}: expected func/opdef keyword, got {t[1]!r}"
+            )
         name = self.lx.next()[1][1:]  # @name
         self.lx.expect(":")
         inputs = self.parse_type_list_parened()
         self.lx.expect("->")
         results = self.parse_type_list_parened()
         attrs = {}
-        if self.lx.peek()[1] == "attributes":
+        if self._peek_req()[1] == "attributes":
             self.lx.next()
             attrs = self.parse_attr_dict()
         self.lx.expect("{")
@@ -387,7 +398,7 @@ class Parser:
         self.lx.expect("module")
         name = self.lx.next()[1][1:]
         attrs = {}
-        if self.lx.peek()[1] == "attributes":
+        if self._peek_req()[1] == "attributes":
             self.lx.next()
             attrs = self.parse_attr_dict()
         self.lx.expect("{")
@@ -399,5 +410,21 @@ class Parser:
 
 
 def parse_module(text: str) -> Module:
-    """Parse a printed module back into IR."""
-    return Parser(text).parse_module()
+    """Parse a printed module back into IR.
+
+    Every malformed/truncated input surfaces as ParseError: interior
+    lookups (type names, enum values) can fail with KeyError/ValueError
+    on cut-off tokens, which would otherwise escape as raw exceptions
+    without the line diagnostics the lexer provides."""
+    p = Parser(text)
+    try:
+        return p.parse_module()
+    except ParseError:
+        raise
+    except (KeyError, ValueError, TypeError, IndexError) as e:
+        t = p.lx.peek() or (p.lx.toks[-1] if p.lx.toks else None)
+        line = text.count("\n", 0, t[2]) + 1 if t else 1
+        raise ParseError(
+            f"line {line}: malformed or truncated input "
+            f"({type(e).__name__}: {e})"
+        ) from e

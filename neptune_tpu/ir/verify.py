@@ -273,6 +273,11 @@ def _structure_key(fn: Function) -> str:
                 for k, offs in sorted(per_input.items())
             )
             parts.append(f"apply[{op.attrs['bounds']}]({acc})")
+            if op.attrs.get("periodic"):
+                # torus wrap changes lowering semantics (roll vs zero-fill
+                # edges); omitting it collided a periodic operator with
+                # its bounded twin in the shared callable cache
+                parts.append("periodic")
             parts.append("consts(" + ",".join(consts) + ")")
             # full dataflow serialization: op sequence with SSA wiring, so the
             # hash is a sound semantic fingerprint (not just a structural one)
@@ -362,7 +367,11 @@ def _opdef_total_shape(fn: Function, module: Module) -> StencilShape:
                 # identity reach so downstream halos stay conservative
                 for j in range(min(len(op.results), n_in)):
                     total = total.union(get(op.operands[j]))
-            reach[op.results[0].uid] = total
+            # ALL results of a multi-result apply carry the body's reach
+            # (assigning results[0] only would give dataflow through
+            # results[1:] an empty reach -> zero-width halo exchange)
+            for res in op.results:
+                reach[res.uid] = total
         elif op.name in ("neptune.apply_linear", "neptune.apply_nonlinear"):
             callee = module.lookup(op.attrs["symbol"])
             callee_shape: StencilShape = callee.attrs.get(

@@ -92,6 +92,7 @@ def sharded_stencil(
     gmesh: GridMesh,
     halo: Sequence[tuple[int, int]],
     rank: int,
+    periodic: bool = False,
 ):
     """Wrap a *local* sweep (operating on a halo-extended block and returning
     the un-extended local block) into a global sharded function.
@@ -99,13 +100,17 @@ def sharded_stencil(
     local_sweep(ext_block, block_info) -> local block
       block_info: dict with 'start' (per-dim global start row of this shard's
       block, traced) for boundary masking.
+    periodic=True gives torus ghost semantics at the global domain edge
+    (the ring ppermute wraps at the mesh boundary; unsharded dims pad with
+    mode='wrap') — without it a torus operator's edge shards would see
+    zero-filled ghosts.
     """
     spec = gmesh.pspec(rank)
     names = list(gmesh.axis_names[:rank]) + [None] * (rank - len(gmesh.axis_names))
 
     def global_fn(u):
         def local_fn(u_loc):
-            ext = halo_pad_local(u_loc, halo, names)
+            ext = halo_pad_local(u_loc, halo, names, periodic=periodic)
             starts = []
             for d in range(rank):
                 nm = names[d]

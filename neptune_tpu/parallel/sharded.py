@@ -25,7 +25,13 @@ def _gspmd_view(cm: CompiledModule) -> CompiledModule:
     shard_map + Pallas fusion lives in parallel.halo.sharded_stencil.)"""
     if cm.backend == "jnp":
         return cm
-    view = CompiledModule(cm.module, "jnp")
+    # cache the view on the parent: rebuilding it per sharded_opdef call
+    # would discard the opdef/structure caches and re-trace identical
+    # kernels on every solve
+    view = getattr(cm, "_gspmd_view_cache", None)
+    if view is None:
+        view = CompiledModule(cm.module, "jnp")
+        cm._gspmd_view_cache = view
     return view
 
 

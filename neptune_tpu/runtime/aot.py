@@ -141,11 +141,15 @@ class NativeCompiledModule:
             outs = []
             out_ptrs = (ctypes.c_void_p * max(len(out_types), 1))()
             for j, t in enumerate(out_types):
-                shape = (
-                    t.bounds.shape
-                    if isinstance(t, TempType)
-                    else (t.shape if isinstance(t, TensorType) else (1,))
-                )
+                # grid-typed results (temp OR field — cgen memcpys the full
+                # extent for both) get full-shape buffers; a (1,) buffer for
+                # a field result would be overflowed by the memcpy
+                if isinstance(t, TensorType):
+                    shape = t.shape
+                elif hasattr(t, "bounds"):  # TempType / FieldType
+                    shape = t.bounds.shape
+                else:
+                    shape = (1,)
                 o = np.empty(shape, dtype=np.float64)
                 outs.append(o)
                 out_ptrs[j] = o.ctypes.data_as(ctypes.c_void_p)

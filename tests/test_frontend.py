@@ -365,3 +365,53 @@ class TestJitClassShapes:
         assert a.shape == (8,) and b.shape == (16,)
         np.testing.assert_allclose(a, 2.0)
         np.testing.assert_allclose(b, 2.0)
+
+
+class TestOpDefCaptures:
+    def test_capture_closing_opdef_is_callable(self):
+        """Review: the linear-capture error recommends nonlinear_op_def for
+        captured temps, but calling the returned handle failed on arity
+        (captures are appended to the traced signature). The handle now
+        supplies them automatically."""
+        ntp.reset_context()
+        n = 16
+        coef = ntp.temp(np.linspace(0.5, 1.5, n))
+
+        @ntp.nonlinear_op_def(
+            bounds=([0], [n]), interior=([1], [n - 1]), name="capop"
+        )
+        def capop(u):
+            return coef[0] * (2.0 * u[0] - u[-1] - u[1])
+
+        x = np.random.default_rng(0).standard_normal(n)
+        y = np.asarray(capop(x))
+        c = np.linspace(0.5, 1.5, n)
+        expect = x.copy()
+        expect[1:-1] = c[1:-1] * (2 * x[1:-1] - x[:-2] - x[2:])
+        np.testing.assert_allclose(y, expect, atol=1e-12)
+        ntp.reset_context()
+
+    def test_linear_capture_rejection_cleans_symbol(self):
+        """Review: the linear temp-capture TypeError left the broken opdef
+        in the module, so fixing the kernel hit 'symbol redefinition'."""
+        ntp.reset_context()
+        n = 8
+        other = ntp.temp(np.ones(n))
+
+        with pytest.raises(TypeError, match="captured temps"):
+
+            @ntp.linear_op_def(
+                bounds=([0], [n]), interior=([1], [n - 1]), name="badcap"
+            )
+            def badcap(u):
+                return other[0] * u[0]
+
+        # the symbol is free again: redefining under the same name works
+        @ntp.linear_op_def(
+            bounds=([0], [n]), interior=([1], [n - 1]), name="badcap"
+        )
+        def badcap2(u):
+            return 2.0 * u[0] - u[-1] - u[1]
+
+        assert np.asarray(badcap2(np.ones(n))).shape == (n,)
+        ntp.reset_context()

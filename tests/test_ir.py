@@ -284,3 +284,105 @@ class TestPrinter:
         build_lap_1d(b)
         verify_and_annotate(b.module)
         assert print_module(b.module.clone()) == print_module(b.module)
+
+
+class TestReviewRound3Regressions:
+    def _lap_opdef(self, b, name, n=16, periodic=False):
+        from neptune_tpu.ir import Bounds, F64, TempType
+
+        bounds = Bounds.of([0], [n])
+        tt = TempType("float64", bounds)
+        fn = b.make_opdef(name, "nonlinear_opdef", [tt], [tt])
+        b.push_block(fn.body)
+        interior = bounds if periodic else Bounds.of([1], [n - 1])
+        op, body = b.start_apply(
+            [fn.body.args[0]], interior, periodic=periodic
+        )
+        b.push_block(body)
+        u0 = b.access(body.args[1], [0])
+        um = b.access(body.args[1], [-1])
+        up = b.access(body.args[1], [1])
+        two = b.constant(2.0, F64)
+        b.yield_(b.sub(b.mul(two, u0), b.add(um, up)))
+        b.pop_block()
+        b.return_([b.finish_apply(op)])
+        b.pop_block()
+        return fn
+
+    def test_structure_key_distinguishes_periodic(self):
+        # review: a torus operator and its bounded twin hashed to the same
+        # structure key, so the shared callable cache served the wrong
+        # lowering to one of them
+        from neptune_tpu.ir import NeptuneBuilder
+        from neptune_tpu.ir.verify import _structure_key
+
+        b = NeptuneBuilder()
+        f1 = self._lap_opdef(b, "bounded", periodic=False)
+        b2 = NeptuneBuilder()
+        f2 = self._lap_opdef(b2, "torus", periodic=True)
+        # make the bounded twin's bounds identical to the periodic one's
+        b3 = NeptuneBuilder()
+        from neptune_tpu.ir import Bounds, F64, TempType
+
+        n = 16
+        bounds = Bounds.of([0], [n])
+        tt = TempType("float64", bounds)
+        fn = b3.make_opdef("full", "nonlinear_opdef", [tt], [tt])
+        b3.push_block(fn.body)
+        op, body = b3.start_apply([fn.body.args[0]], bounds, periodic=False)
+        b3.push_block(body)
+        u0 = b3.access(body.args[1], [0])
+        um = b3.access(body.args[1], [-1])
+        up = b3.access(body.args[1], [1])
+        two = b3.constant(2.0, F64)
+        b3.yield_(b3.sub(b3.mul(two, u0), b3.add(um, up)))
+        b3.pop_block()
+        b3.return_([b3.finish_apply(op)])
+        b3.pop_block()
+        assert _structure_key(f2) != _structure_key(fn)
+
+    def test_multi_result_apply_reach_on_all_results(self):
+        # review: only results[0] carried the stencil reach; dataflow
+        # through results[1:] annotated an EMPTY halo -> zero-width
+        # exchanges on sharded runs
+        from neptune_tpu.ir import Bounds, F64, NeptuneBuilder, TempType
+        from neptune_tpu.ir.verify import verify_and_annotate
+
+        b = NeptuneBuilder()
+        n = 16
+        bounds = Bounds.of([0], [n])
+        tt = TempType("float64", bounds)
+        fn = b.make_opdef("second", "nonlinear_opdef", [tt], [tt])
+        b.push_block(fn.body)
+        op, body = b.start_apply(
+            [fn.body.args[0]], Bounds.of([2], [n - 2]),
+            result_types=[tt, tt],
+        )
+        b.push_block(body)
+        um = b.access(body.args[1], [-2])
+        up = b.access(body.args[1], [1])
+        b.yield_([b.add(um, up), b.sub(um, up)])
+        b.pop_block()
+        outs = b.finish_apply(op)
+        # return ONLY the second result
+        b.return_([outs[1]])
+        b.pop_block()
+        verify_and_annotate(b.module)
+        halo = b.module.lookup("second").attrs.get("halo")
+        assert halo and tuple(halo[0]) == (2, 1), halo
+
+    def test_parser_truncations_raise_parseerror(self):
+        # review: truncated stage dumps crashed with TypeError/KeyError
+        # instead of the lexer's line-diagnostic ParseError
+        from neptune_tpu.ir import NeptuneBuilder
+        from neptune_tpu.ir.parser import ParseError, parse_module
+        from neptune_tpu.ir.printer import print_module
+
+        b = NeptuneBuilder()
+        self._lap_opdef(b, "lap")
+        txt = print_module(b.module)
+        for cut in range(1, len(txt), 7):
+            with pytest.raises(ParseError):
+                parse_module(txt[:cut])
+        # the full text still round-trips
+        assert parse_module(txt) is not None

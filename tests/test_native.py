@@ -248,3 +248,45 @@ class TestCrossBackendScalarSemantics:
             .module
         )
         ntp.reset_context()
+
+    def test_field_typed_return_native(self):
+        """Review pair: cgen used to emit an ill-formed pointer cast for a
+        FieldType return, and aot allocated a 1-element buffer the memcpy
+        then overflowed. A func returning the field it stored into must
+        compile and round the values through intact."""
+        import neptune_tpu as ntp
+        from neptune_tpu.ir import Bounds, FieldType, NeptuneBuilder, TempType
+
+        ntp.reset_context()
+        b = ntp.get_context().builder
+        n = 16
+        bounds = Bounds.of([0], [n])
+        tt = TempType("float64", bounds)
+        ft = FieldType("float64", bounds)
+        from neptune_tpu.ir import TensorType
+
+        entry = b.make_function(
+            "entry", "func", [TensorType("float64", (n,))], [ft]
+        )
+        b.push_block(entry.body)
+        f = b.wrap(entry.body.args[0], ft)
+        u = b.load(f)
+        op, body = b.start_apply([u], Bounds.of([1], [n - 1]))
+        b.push_block(body)
+        u0 = b.access(body.args[1], [0])
+        from neptune_tpu.ir import F64
+
+        b.yield_(b.mul(b.constant(3.0, F64), u0))
+        b.pop_block()
+        t = b.finish_apply(op)
+        b.store(t, f)
+        b.return_([f])
+        b.pop_block()
+        ntp.get_context().bump()
+        nm = compile_native(ntp.get_context().module)
+        x = np.arange(1.0, n + 1.0)
+        y = np.asarray(nm.function("entry")(x))
+        expect = x.copy()
+        expect[1:-1] = 3.0 * x[1:-1]
+        np.testing.assert_allclose(y, expect, atol=1e-12)
+        ntp.reset_context()

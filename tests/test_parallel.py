@@ -155,6 +155,45 @@ class TestShardMapHalo:
         np.testing.assert_allclose(out, lap2d_np(x), atol=1e-13)
 
 
+    def test_sharded_stencil_periodic_torus(self):
+        # review: sharded_stencil had no periodic flag, so torus operators
+        # got zero-filled ghosts at the global domain edge
+        gm = GridMesh((4, 2), ("x", "y"))
+        n = 64
+        x = np.random.default_rng(4).standard_normal((n, n))
+
+        def local_sweep(ext, info):
+            c = ext[1:-1, 1:-1]
+            return (
+                4 * c - ext[:-2, 1:-1] - ext[2:, 1:-1]
+                - ext[1:-1, :-2] - ext[1:-1, 2:]
+            )
+
+        f = jax.jit(
+            sharded_stencil(
+                local_sweep, gm, ((1, 1), (1, 1)), 2, periodic=True
+            )
+        )
+        out = np.asarray(f(gm.shard(jnp.asarray(x))))
+        expect = (
+            4 * x
+            - np.roll(x, 1, 0) - np.roll(x, -1, 0)
+            - np.roll(x, 1, 1) - np.roll(x, -1, 1)
+        )
+        np.testing.assert_allclose(out, expect, atol=1e-13)
+
+    def test_gspmd_view_cached_across_calls(self):
+        # review: every sharded_opdef call rebuilt the jnp view, discarding
+        # the opdef/structure caches (re-jit per solve)
+        from neptune_tpu.parallel.sharded import _gspmd_view
+
+        make_lap2d()
+        cmp = ntp.get_context().compiled()
+        v1 = _gspmd_view(cmp)
+        v2 = _gspmd_view(cmp)
+        assert v1 is v2
+
+
 class TestShardMapOpdef:
     def test_matches_local_execution(self):
         # explicit-communication sharded matvec == single-device result
