@@ -38,6 +38,7 @@ class GridMesh:
         shape: Sequence[int],
         axis_names: Optional[Sequence[str]] = None,
         devices=None,
+        abstract: bool = False,
     ):
         shape = tuple(int(s) for s in shape)
         if axis_names is None:
@@ -45,12 +46,23 @@ class GridMesh:
         axis_names = tuple(axis_names)
         if len(axis_names) != len(shape):
             raise ValueError("axis_names / mesh shape rank mismatch")
-        devices = list(devices) if devices is not None else jax.devices()
-        need = math.prod(shape)
-        if len(devices) < need:
-            raise ValueError(f"mesh {shape} needs {need} devices, have {len(devices)}")
-        dev_array = np.array(devices[:need]).reshape(shape)
-        self.mesh = Mesh(dev_array, axis_names)
+        if abstract:
+            # topology-only mesh (jax.sharding.AbstractMesh): enough for
+            # plan_opdef/plan_report and jit sharding specification —
+            # capacity-plan a pod slice without owning the devices. shard()
+            # and execution naturally fail (no devices to put data on).
+            from jax.sharding import AbstractMesh
+
+            self.mesh = AbstractMesh(shape, axis_names)
+        else:
+            devices = list(devices) if devices is not None else jax.devices()
+            need = math.prod(shape)
+            if len(devices) < need:
+                raise ValueError(
+                    f"mesh {shape} needs {need} devices, have {len(devices)}"
+                )
+            dev_array = np.array(devices[:need]).reshape(shape)
+            self.mesh = Mesh(dev_array, axis_names)
         self.axis_names = axis_names
         self.shape = shape
 

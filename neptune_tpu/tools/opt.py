@@ -15,6 +15,8 @@ Usage:
   neptune-opt FILE.ntir --hlo entry              # optimized-ready HLO text
   neptune-opt FILE.ntir --run entry --inputs a.npy b.npy   # execute
   neptune-opt FILE.ntir --run entry --native     # execute on the C++ runtime
+  neptune-opt FILE.ntir --plan 4x2               # sharded plan per opdef on a
+                                                 # topology-only 4x2 mesh
   neptune-opt FILE.py ...                        # run a python DSL script and
                                                  # use its traced module
 
@@ -70,6 +72,12 @@ def main(argv=None) -> int:
         choices=["auto", "jnp", "pallas"],
         help="apply-executor backend for --jaxpr/--hlo",
     )
+    ap.add_argument(
+        "--plan",
+        metavar="MESH",
+        help="print the sharded execution plan of every opdef over a device "
+        "mesh, e.g. --plan 4x2 (topology-only: no devices needed)",
+    )
     ap.add_argument("-o", "--output", help="write final IR to file")
     args = ap.parse_args(argv)
 
@@ -87,7 +95,7 @@ def main(argv=None) -> int:
         until = args.until
         if not (
             args.pipeline or args.dump_all or until or args.jaxpr or args.hlo
-            or args.run
+            or args.run or args.plan
         ):
             until = "verify-annotate"
         pr = run_pipeline(module, until=until)
@@ -103,7 +111,7 @@ def main(argv=None) -> int:
     if args.output:
         with open(args.output, "w") as f:
             f.write(final)
-    elif not args.dump_all:
+    elif not args.dump_all and not args.plan:
         print(final)
 
     if args.run:
@@ -151,6 +159,24 @@ def main(argv=None) -> int:
             )
             with np.printoptions(threshold=64, precision=6):
                 print(o)
+
+    if args.plan:
+        from ..parallel import GridMesh, plan_report
+
+        try:
+            mesh_shape = tuple(int(s) for s in args.plan.split("x"))
+        except ValueError:
+            print(f"error: bad --plan mesh '{args.plan}' (want e.g. 4x2)",
+                  file=sys.stderr)
+            return 1
+        gm = GridMesh(mesh_shape, abstract=True)
+        cm = pr.compiled(args.backend)
+        for fn in pr.module.opdefs():
+            print(f"// ----- sharded plan of @{fn.name} on mesh {args.plan} -----")
+            try:
+                print(plan_report(cm, fn.name, gm), end="")
+            except ValueError as e:
+                print(f"// no plan: {e}")
 
     if args.jaxpr or args.hlo:
         import jax

@@ -57,6 +57,28 @@ class TestGridMesh:
         with pytest.raises(ValueError, match="divisible"):
             gm.check_divisible((63, 64))
 
+    def test_abstract_mesh_plans_beyond_host_devices(self):
+        # topology-only mesh: plan a 32-device layout on an 8-device host;
+        # the report must be byte-identical to a concrete mesh of the same
+        # shape (where one fits)
+        import programs
+
+        from neptune_tpu.parallel import plan_opdef, plan_report
+
+        m = programs.build_heat3d_explicit()
+        cm = compile_ir(m)
+        big = GridMesh((16, 2), ("x", "y"), abstract=True)
+        assert big.n_devices == 32
+        rp = plan_opdef(cm, "heat3d_rhs", big)
+        # 8x8x8 grid over 16-way dim 0: 8 % 16 != 0 -> fused plan infeasible,
+        # composite check also fails divisibility -> extended-block
+        assert rp.kind == "extended-block"
+        small_abs = GridMesh((2, 2), ("x", "y"), abstract=True)
+        small = GridMesh((2, 2), ("x", "y"))
+        assert plan_report(cm, "heat3d_rhs", small_abs) == plan_report(
+            cm, "heat3d_rhs", small
+        )
+
 
 class TestGSPMD:
     def test_sharded_matvec_matches_local(self):

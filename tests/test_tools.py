@@ -103,6 +103,22 @@ class TestOptCLI:
         assert "jaxpr of @entry" in out
         assert "while" in out  # the Krylov loop is visible
 
+    def test_plan_dump(self, tmp_path, capsys):
+        # --plan uses a topology-only AbstractMesh: planning a 16-device
+        # layout must work regardless of how many devices this host has
+        path = self._write(tmp_path)
+        assert opt_main([path, "--plan", "16"]) == 0
+        out = capsys.readouterr().out
+        assert "sharded plan of @ac_lap on mesh 16" in out
+        assert "sharded plan of @ac_A on mesh 16" in out
+        assert "route: " in out
+        assert "halo (verified reach):" in out
+
+    def test_plan_bad_mesh(self, tmp_path, capsys):
+        path = self._write(tmp_path)
+        assert opt_main([path, "--plan", "4xq"]) == 1
+        assert "bad --plan mesh" in capsys.readouterr().err
+
     def test_output_file(self, tmp_path):
         path = self._write(tmp_path)
         outp = tmp_path / "out.ntir"
