@@ -20,6 +20,7 @@ benchmarks/results.json when --all is passed.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -47,14 +48,16 @@ def timed_sweep(step_fn, x, K1, K2):
         _ = float(jnp.sum(y))
         return time.perf_counter() - t0
 
-    # min-of-2 per K: the tunnel RTT (~25 ms) is noisy and additive, the
-    # min is the cleanest estimate of deterministic device time. Host
-    # contention can still invert the difference (t2 <= t1 produced a
-    # negative entry in one contended run); re-measure up to 3 more times
-    # before falling back to the conservative t2/K2 (includes the fixed
-    # dispatch overhead, so it only ever understates throughput).
-    t1 = min(run_K(K1), run_K(K1))
-    t2 = min(run_K(K2), run_K(K2))
+    # min-of-R per K: the tunnel RTT (~25 ms) is noisy and additive, the
+    # min is the cleanest estimate of deterministic device time (observed
+    # same-config spread on a contended tunnel: 4x). Host contention can
+    # still invert the difference (t2 <= t1 produced a negative entry in
+    # one contended run); re-measure up to 3 more times before falling
+    # back to the conservative t2/K2 (includes the fixed dispatch
+    # overhead, so it only ever understates throughput).
+    reps = int(os.environ.get("NEPTUNE_BENCH_REPS", "3"))
+    t1 = min(run_K(K1) for _ in range(reps))
+    t2 = min(run_K(K2) for _ in range(reps))
     for _ in range(3):
         if t2 > t1:
             break
@@ -515,8 +518,29 @@ def full_suite(results=None):
         "gcell_per_s": n * n / dt / 1e9,
         "frac_of_hbm_roofline": (n * n / dt) / ROOFLINE_CELLS,
         "vs_ext_path": dt_ext / dt,
-        "kernel": "composite opdef (u + 0.01*lap(lap(u))) fused strips + per-stage Pallas window main sweep",
+        "kernel": "composite opdef (u + 0.01*lap(lap(u))) fused strips + whole-DAG chain window core sweep",
     }
+
+    # config 5h2: the SAME composite DAG as ONE rolling-window Pallas pass
+    # (lowering/pallas_chain): every intermediate stays VMEM-resident, so
+    # the whole 3-stage chain pays a single HBM round trip instead of one
+    # per stage (the path cm.opdef() now takes on TPU). Oracle-checked
+    # bitwise against the jnp lowering on v5e.
+    for nn in (1024, 4096):
+        cmw = make_composite_2d(nn)
+        xw = jnp.asarray(rng.standard_normal((nn, nn)).astype(np.float32))
+        dt = timed_sweep(cmw.opdef("wrapped"), xw, 100, 500)
+        # the retired stage-at-a-time execution (private entry: the public
+        # opdef() routes composites through the chain kernel now)
+        stage = cmw._make_callable(cmw.module.lookup("wrapped"))
+        dt_stage = timed_sweep(stage, xw, 100, 500)
+        results[f"composite_chain_{nn}"] = {
+            "us_per_sweep": dt * 1e6,
+            "gcell_per_s": nn * nn / dt / 1e9,
+            "frac_of_hbm_roofline": (nn * nn / dt) / ROOFLINE_CELLS,
+            "vs_per_stage": dt_stage / dt,
+            "kernel": "whole-DAG fused chain window (1 HBM pass for 3 stages)",
+        }
 
     # config 5i: s-step CA-CG — one exchange + one Gram psum per s
     # iterations (the reference's default KSP made communication-avoiding)

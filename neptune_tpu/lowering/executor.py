@@ -56,19 +56,30 @@ class CompiledModule:
         self._structure_cache: dict[int, Callable] = {}
         self._fn_cache: dict[str, Callable] = {}
         self._lo_cm: Optional["CompiledModule"] = None
+        self._jnp_cm: Optional["CompiledModule"] = None
 
     # ------------------------------------------------------------------
     # public entry points
     # ------------------------------------------------------------------
 
-    def opdef(self, name: str) -> Callable:
+    def opdef(self, name: str, differentiable: bool = False) -> Callable:
         """Traced callable for a linear/nonlinear opdef: (*arrays) -> array(s).
 
         Callables are shared between structurally identical opdefs via the
         verifier's structure-key hash — the reference's kernel-cache key
         (`VerifyAndAnnotate.cpp:279-293` MD5 keyHash) applied to avoid
         re-tracing/re-jitting duplicate operators.
+
+        differentiable=True pins the jnp lowering (skipping Pallas kernels,
+        which have no JVP rule) so the result is safe under `jax.jvp` —
+        the JFNK path (`solvers/newton.py`) differentiates the residual.
+        Pallas-backed callables also carry a `jax.custom_jvp` rule that
+        re-derives primal+tangent from the jnp lowering, so differentiating
+        through a plain `opdef()` call works on TPU too; `differentiable=`
+        merely skips the (never-differentiated) Pallas primal path.
         """
+        if differentiable and self.backend != "jnp":
+            return self._jnp_view().opdef(name)
         if name not in self._opdef_cache:
             fn = self.module.lookup(name)
             assert fn.is_opdef, f"@{name} is not an opdef"
@@ -76,11 +87,48 @@ class CompiledModule:
             if skey is not None and skey in self._structure_cache:
                 self._opdef_cache[name] = self._structure_cache[skey]
             else:
-                cb = self._make_callable(fn)
+                cb = None
+                pallas_live = False
+                if self.backend in ("auto", "pallas"):
+                    from . import pallas_backend, pallas_chain
+
+                    pallas_live = (
+                        pallas_backend._on_tpu() or config.pallas_interpret
+                    )
+                    # composite opdefs whose whole apply DAG fits one
+                    # rolling-window pass run as ONE Pallas kernel (one HBM
+                    # round trip instead of one per stage)
+                    cb = pallas_chain.chain_callable(self.module, name)
+                if cb is None:
+                    cb = self._make_callable(fn)
+                if pallas_live:
+                    cb = self._with_jnp_jvp(name, cb)
                 self._opdef_cache[name] = cb
                 if skey is not None:
                     self._structure_cache[skey] = cb
         return self._opdef_cache[name]
+
+    def _jnp_view(self) -> "CompiledModule":
+        """A jnp-backend view sharing this module (its own trace caches)."""
+        if self.backend == "jnp":
+            return self
+        if self._jnp_cm is None:
+            self._jnp_cm = CompiledModule(self.module, "jnp")
+        return self._jnp_cm
+
+    def _with_jnp_jvp(self, name: str, cb: Callable) -> Callable:
+        """Attach a custom_jvp that evaluates primal AND tangent via the
+        jnp lowering (whole-array roll/where — ordinary differentiable XLA
+        ops). Pallas kernels have no JVP rule, so without this any
+        `jax.jvp`/`jax.grad` through an opdef call would fail on TPU."""
+        wrapped = jax.custom_jvp(cb)
+
+        @wrapped.defjvp
+        def _jvp(primals, tangents):  # noqa: ANN001
+            return jax.jvp(self._jnp_view().opdef(name), primals, tangents)
+
+        wrapped.__name__ = getattr(cb, "__name__", f"neptune_{name}")
+        return wrapped
 
     def function(self, name: str) -> Callable:
         """Traced callable for a plain function."""

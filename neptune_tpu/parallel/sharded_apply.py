@@ -881,19 +881,32 @@ def _shardmap_fused_composite(
             nloc = flocs[0].shape
             gstart = _gstart(nloc, rank, names, outer)
 
-            # main: the whole chain, zero-ghost, on the cores — per-stage
-            # Pallas window kernels on TPU (jnp fallback per stage)
+            # main: the whole chain, zero-ghost, on the cores. On TPU the
+            # whole flattened DAG runs as ONE rolling-window Pallas pass
+            # (lowering/pallas_chain, intermediates VMEM-resident, one HBM
+            # round trip for the chain); per-stage window kernels are the
+            # next preference, jnp the fallback. Chain-window wrap/clamp
+            # edge garbage lands inside the composed-reach zones the bands
+            # recompute — same contract as the per-stage windows.
             from ..config import config
-            from ..lowering import pallas_backend
+            from ..lowering import pallas_backend, pallas_chain
 
-            main_backend = (
-                "pallas"
-                if pallas_backend._on_tpu() or config.pallas_interpret
-                else "jnp"
+            on_tpu = pallas_backend._on_tpu() or config.pallas_interpret
+            main_backend = "pallas" if on_tpu else "jnp"
+            cplan = (
+                pallas_chain.chain_plan(cm.module, fn.name, tuple(nloc))
+                if on_tpu
+                else None
             )
-            out = _eval_opdef_local(
-                cm.module, fn.name, list(locs), nloc, gstart, main_backend
-            )
+            if cplan is not None:
+                out = pallas_chain.execute_chain(
+                    cplan, flocs, slocs, global_start=gstart,
+                    interpret=config.pallas_interpret,
+                )
+            else:
+                out = _eval_opdef_local(
+                    cm.module, fn.name, list(locs), nloc, gstart, main_backend
+                )
             outs = list(out) if isinstance(out, tuple) else [out]
 
             strips, ext_slice, sharded_dims = _strip_exchange(
