@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .ca_cg import _basis_matrix
-from .ca_common import MatrixPowers, plan_ca_solver, run_ca_solver
+from .ca_common import MatrixPowers, _mm, plan_ca_solver, run_ca_solver
 from .mesh import GridMesh
 
 
@@ -121,7 +121,7 @@ def bicgstab_sharded(
                 Ws = jnp.stack(
                     [v.reshape(-1) for v in V] + [rhat_eff.reshape(-1)]
                 )
-                Gx = gsum(Ws @ Ws.T)
+                Gx = gsum(jnp.matmul(Ws, Ws.T, precision="highest"))
                 G_raw = Gx[:m, :m]
                 g_raw = Gx[m, :m]  # g[i] = (r̃0, V_i)
 
@@ -154,7 +154,7 @@ def bicgstab_sharded(
                 # invariant at block boundaries: v = Ã·p (v0 = Ã·0 = 0 at
                 # solve start; re-established by construction after every
                 # iteration and after restarts)
-                v_c = Bs @ p_c
+                v_c = _mm(Bs, p_c)
                 rr_j = rr_seed
                 it_j = it
                 brk = jnp.logical_not(block_on)
@@ -176,7 +176,7 @@ def bicgstab_sharded(
                     )
                     p_new = r_c + beta * (p_c - omega * v_c)
                     p_c = jnp.where(ok0, p_new, p_c)
-                    v_new = Bs @ p_c
+                    v_new = _mm(Bs, p_c)
                     v_c = jnp.where(ok0, v_new, v_c)
                     denom = jnp.sum(g * v_c)
                     ok1 = ok0 & (denom != 0)
@@ -184,16 +184,16 @@ def bicgstab_sharded(
                         ok1, rho_new / jnp.where(denom == 0, one, denom), 0.0
                     )
                     s_c = r_c - alpha_n * v_c
-                    t_c = Bs @ s_c
-                    tt = jnp.sum(t_c * (G @ t_c))
-                    ts = jnp.sum(t_c * (G @ s_c))
+                    t_c = _mm(Bs, s_c)
+                    tt = jnp.sum(t_c * _mm(G, t_c))
+                    ts = jnp.sum(t_c * _mm(G, s_c))
                     ok2 = ok1 & (tt > 0)
                     omega_n = jnp.where(
                         ok2, ts / jnp.where(tt == 0, one, tt), 0.0
                     )
                     x_c = x_c + alpha_n * p_c + omega_n * s_c
                     r_new = s_c - omega_n * t_c
-                    rr_new = jnp.sum(r_new * (G @ r_new))
+                    rr_new = jnp.sum(r_new * _mm(G, r_new))
                     good = ok2 & (rr_new >= 0)
                     brk = brk | (active & jnp.logical_not(good))
                     r_c = jnp.where(good, r_new, r_c)
@@ -215,8 +215,8 @@ def bicgstab_sharded(
 
                 Vstack = jnp.stack(V)
                 # map scaled coefficients back: c = c'/||V_j||
-                x = x + jnp.tensordot(x_c / dsafe, Vstack, axes=1)
-                p = jnp.tensordot(p_c / dsafe, Vstack, axes=1)
+                x = x + jnp.tensordot(x_c / dsafe, Vstack, axes=1, precision="highest")
+                p = jnp.tensordot(p_c / dsafe, Vstack, axes=1, precision="highest")
                 made_progress = it_j > it
                 stall = jnp.where(
                     block_on & jnp.logical_not(made_progress), stall + 1,

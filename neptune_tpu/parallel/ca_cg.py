@@ -46,7 +46,7 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
-from .ca_common import MatrixPowers, plan_ca_solver, run_ca_solver
+from .ca_common import MatrixPowers, _mm, plan_ca_solver, run_ca_solver
 from .mesh import GridMesh
 
 
@@ -139,7 +139,7 @@ def cg_sharded(
 
                 # ---- one psum: the Gram matrix ----
                 Vs = jnp.stack([v.reshape(-1) for v in V])
-                G = gsum(Vs @ Vs.T)
+                G = gsum(jnp.matmul(Vs, Vs.T, precision="highest"))
 
                 # The block-seed residual norm ||r0||² = G[r,r] is a direct
                 # sum of squares of the TRUE residual field — trustworthy.
@@ -167,8 +167,8 @@ def cg_sharded(
                         & (rr_j > target2)
                         & (it_j < maxiter)
                     )
-                    w_c = Bmat @ p_c
-                    Gp = G @ w_c
+                    w_c = _mm(Bmat, p_c)
+                    Gp = _mm(G, w_c)
                     pAp = jnp.sum(p_c * Gp)
                     ok = active & (pAp > 0)
                     alpha = jnp.where(
@@ -176,7 +176,7 @@ def cg_sharded(
                     )
                     x_c = x_c + alpha * p_c
                     r_c = r_c - alpha * w_c
-                    rr_new = jnp.sum(r_c * (G @ r_c))
+                    rr_new = jnp.sum(r_c * _mm(G, r_c))
                     good = ok & (rr_new >= 0)
                     brk = brk | (active & jnp.logical_not(good))
                     beta = jnp.where(
@@ -197,8 +197,8 @@ def cg_sharded(
 
                 # ---- recover x, p from the basis (local, no comm) ----
                 Vstack = jnp.stack(V)
-                x = x + jnp.tensordot(x_c, Vstack, axes=1)
-                p = jnp.tensordot(p_c, Vstack, axes=1)
+                x = x + jnp.tensordot(x_c, Vstack, axes=1, precision="highest")
+                p = jnp.tensordot(p_c, Vstack, axes=1, precision="highest")
                 made_progress = it_j > it
                 stall = jnp.where(
                     block_on & jnp.logical_not(made_progress), stall + 1,

@@ -42,6 +42,20 @@ from .sharded_apply import (
 )
 
 
+def _mm(a, b):
+    """f32-exact matmul for coefficient-space algebra.
+
+    TPU's default-precision f32 `@` multiplies in bf16 on the MXU (~8
+    mantissa bits); the CA solvers' Gram matrices and coefficient
+    recurrences lose enough bits that residuals stall orders above tol
+    (observed: monomial CA-BiCGStab stuck at 3e-4 vs tol 1e-4, Chebyshev
+    basis NaN). Every Gram/coefficient/recombination matmul pins
+    precision="highest" (3-pass f32 emulation; negligible next to the
+    exchanges). CPU/GPU are unaffected (already f32-exact).
+    """
+    return jnp.matmul(a, b, precision="highest")
+
+
 class SolverPlan(NamedTuple):
     """Everything the CA solver frontends share: validated opdef geometry,
     the fused-exchange plan, and the per-shard matvec."""
@@ -118,11 +132,24 @@ def plan_ca_solver(
 
 def run_ca_solver(local_fn, gmesh, spec, b, inv_diag):
     """Shared solve tail: shard_map `local_fn(b_block, inv_diag_block)
-    -> (x, rr, it, target2)` over the mesh and assemble SolveInfo."""
+    -> (x, rr, it, target2)` over the mesh and assemble SolveInfo.
+
+    The whole local body traces under `default_matmul_precision("highest")`
+    so library internals the solvers cannot pin per-call (eigh/lstsq in
+    CA-GMRES's replicated least squares) get f32-exact matmuls on TPU too
+    — see `_mm` for why bf16-multiply precision breaks the recurrences.
+    """
+    import jax
+
     has_id = inv_diag is not None
     idl = inv_diag if has_id else jnp.zeros(())
+
+    def pinned(bb, ii):
+        with jax.default_matmul_precision("highest"):
+            return local_fn(bb, ii if has_id else None)
+
     x, rr, it, target2 = shard_map(
-        lambda bb, ii: local_fn(bb, ii if has_id else None),
+        pinned,
         mesh=gmesh.mesh,
         in_specs=(spec, spec if has_id else gmesh.pspec(0)),
         out_specs=(spec,) + (gmesh.pspec(0),) * 3,

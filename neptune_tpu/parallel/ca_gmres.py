@@ -58,7 +58,9 @@ import jax.numpy as jnp
 from jax import lax
 
 from .ca_cg import _basis_matrix
-from .ca_common import MatrixPowers, plan_ca_solver, run_ca_solver
+from jax.scipy.linalg import solve_triangular as jsp_solve_triangular
+
+from .ca_common import MatrixPowers, _mm, plan_ca_solver, run_ca_solver
 from .mesh import GridMesh
 
 
@@ -121,7 +123,7 @@ def gmres_sharded(
 
                 # ---- one psum: the Gram matrix ----
                 Vs = jnp.stack([v.reshape(-1) for v in V])
-                G = gsum(Vs @ Vs.T)
+                G = gsum(jnp.matmul(Vs, Vs.T, precision="highest"))
 
                 # Convergence is decided on the CYCLE SEED norm ||r0||² =
                 # G[0,0] — a direct sum of squares of the true residual
@@ -133,21 +135,73 @@ def gmres_sharded(
                 rr_seed = G[0, 0]
                 done_now = rr_seed <= target2
 
-                # ---- replicated LS: min_y (e0 - Bred y)ᵀ G (e0 - Bred y)
-                # via G = L̃L̃ᵀ from the clamped eigendecomposition (a
+                # Column normalization (zero extra communication, same
+                # trick as ca_bicgstab): basis norms grow like lam^j for
+                # the monomial basis, so the raw Gram's condition is
+                # kappa(V)^2 * (norm spread)^2 and its small eigenvalues
+                # drown in f32 noise. Work in V' = V·diag(1/||V_j||)
+                # (norms from the Gram diagonal): G' = D G D,
+                # B'[i,j] = B[i,j]·d_i/d_j, seed e0' = d_0·e0, and
+                # recover y = y'/||V_j||.
+                dG = jnp.sqrt(jnp.clip(jnp.diag(G), 0.0, None))
+                dsafe = jnp.where(dG > 0, dG, jnp.asarray(1.0, dtype))
+                Gs = G / (dsafe[:, None] * dsafe[None, :])
+                Bs = Bred * (dsafe[:, None] / dsafe[None, :s])
+
+                # ---- replicated LS: min_y' (e0' - B' y')ᵀ G' (e0' - B' y')
+                # via G' = L̃L̃ᵀ from the clamped eigendecomposition (a
                 # Cholesky NaNs out when the basis degenerates to near
-                # rank-1 — e.g. a near-identity operator — however the
-                # jitter is scaled; eigh is NaN-free and a rank-deficient
-                # factor just makes lstsq return the min-norm y) ----
-                w_ev, Q_ev = jnp.linalg.eigh(G)
+                # rank-1 — e.g. a near-identity operator — eigh is
+                # NaN-free). The LS itself solves through Householder QR
+                # + one step of iterative refinement, NOT lstsq: TPU's
+                # f32 SVD returns ~60x noisier components in the small-
+                # singular directions than its QR (measured), and with
+                # the Gram now computed at exact f32 precision that SVD
+                # noise entered y every cycle and stalled the solve
+                # orders above tol. Rank deficiency is handled by masking
+                # columns whose R diagonal underflows the dtype's
+                # rank tolerance (the trailing basis directions), which
+                # keeps the solve NaN-free where lstsq returned the
+                # min-norm y. ----
+                w_ev, Q_ev = jnp.linalg.eigh(Gs)
+                if basis == "chebyshev":
+                    # The Chebyshev basis is well-conditioned BY DESIGN, so
+                    # normalized-Gram eigenvalues below the f32 dot-product
+                    # noise floor (~sqrt(N)·eps relative) are pure noise;
+                    # keeping them injects that noise into x every cycle
+                    # (measured on v5e: 3400 iters unclamped vs 688 clamped
+                    # on the 256² Poisson bench). The monomial basis is
+                    # ill-conditioned by construction — its small
+                    # eigenvalues CARRY the trailing Krylov directions, and
+                    # clamping them stalls the solve — so it keeps the full
+                    # spectrum and relies on the QR solve's accuracy.
+                    tau = 2500.0 * jnp.finfo(dtype).eps * jnp.max(w_ev)
+                    w_ev = jnp.where(w_ev > tau, w_ev, 0.0)
                 Lt = jnp.sqrt(jnp.maximum(w_ev, 0.0))[:, None] * Q_ev.T
-                A_ls = Lt @ Bred  # m×s
-                b_ls = Lt[:, 0]  # = L̃ᵀ e0
-                y = jnp.linalg.lstsq(A_ls, b_ls)[0]
+                A_ls = _mm(Lt, Bs)  # m×s
+                b_ls = Lt[:, 0] * dsafe[0]  # = L̃ᵀ e0'
+                Q_ls, R_ls = jnp.linalg.qr(A_ls)
+                rdiag = jnp.abs(jnp.diag(R_ls))
+                keep = rdiag > (
+                    jnp.finfo(dtype).eps * s * jnp.max(rdiag)
+                )
+                R_safe = R_ls + jnp.diag(jnp.where(keep, 0.0, jnp.asarray(1.0, dtype)))
+
+                def tri_solve(rhs):
+                    yk = jsp_solve_triangular(
+                        R_safe, _mm(Q_ls.T, rhs)
+                    )
+                    return jnp.where(keep, yk, 0.0)
+
+                y = tri_solve(b_ls)
+                y = y + tri_solve(b_ls - _mm(A_ls, y))
                 y = jnp.where(done_now, jnp.zeros_like(y), y)
 
-                # ---- recover x (local, no comm) ----
-                x = x + jnp.tensordot(y, jnp.stack(V[:s]), axes=1)
+                # ---- recover x (local, no comm): y = y'/||V_j|| ----
+                x = x + jnp.tensordot(
+                    y / dsafe[:s], jnp.stack(V[:s]), axes=1,
+                    precision="highest",
+                )
                 # two consecutive cycles with no seed reduction = stagnated
                 stall = jnp.where(
                     jnp.logical_not(done_now) & (rr_seed >= rr_prev),

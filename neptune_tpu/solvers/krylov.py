@@ -314,7 +314,7 @@ def gmres(
             i = m - 1 - idx
 
             def active_case(y):
-                dot = jnp.dot(H[i, :], y)
+                dot = jnp.dot(H[i, :], y, precision="highest")
                 Hii = H[i, i]
                 yi = (g[i] - dot) / jnp.where(Hii == 0, 1.0, Hii)
                 return y.at[i].set(yi)
@@ -322,7 +322,7 @@ def gmres(
             return jax.lax.cond(i < j_used, active_case, lambda y: y, y)
 
         y = jax.lax.fori_loop(0, m, back_sub, jnp.zeros((m,), dtype))
-        dx = jnp.dot(y, V[:m])
+        dx = jnp.dot(y, V[:m], precision="highest")
         x = x + dx
         return x, k + niters, resnorm, resnorm <= target
 
@@ -342,7 +342,7 @@ def direct(matvec_dense_matrix, b, **_kw):
     reference's DenseRM KSP path (`NeptunePETScRuntime.cpp:241-252,301-364`)."""
     flat_b, unravel = ravel(b)
     x = jnp.linalg.solve(matvec_dense_matrix, flat_b)
-    r = matvec_dense_matrix @ x - flat_b
+    r = jnp.matmul(matvec_dense_matrix, x, precision="highest") - flat_b
     rnorm = jnp.linalg.norm(r)
     return unravel(x), SolveInfo(jnp.int32(1), rnorm, jnp.bool_(True))
 
