@@ -55,7 +55,7 @@ def timed_sweep(step_fn, x, K1, K2):
     # one contended run); re-measure up to 3 more times before falling
     # back to the conservative t2/K2 (includes the fixed dispatch
     # overhead, so it only ever understates throughput).
-    reps = int(os.environ.get("NEPTUNE_BENCH_REPS", "3"))
+    reps = max(1, int(os.environ.get("NEPTUNE_BENCH_REPS", "3")))
     t1 = min(run_K(K1) for _ in range(reps))
     t2 = min(run_K(K2) for _ in range(reps))
     for _ in range(3):

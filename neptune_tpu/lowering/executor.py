@@ -70,13 +70,14 @@ class CompiledModule:
         (`VerifyAndAnnotate.cpp:279-293` MD5 keyHash) applied to avoid
         re-tracing/re-jitting duplicate operators.
 
-        differentiable=True pins the jnp lowering (skipping Pallas kernels,
-        which have no JVP rule) so the result is safe under `jax.jvp` —
-        the JFNK path (`solvers/newton.py`) differentiates the residual.
-        Pallas-backed callables also carry a `jax.custom_jvp` rule that
-        re-derives primal+tangent from the jnp lowering, so differentiating
-        through a plain `opdef()` call works on TPU too; `differentiable=`
-        merely skips the (never-differentiated) Pallas primal path.
+        Differentiation: Pallas-backed callables carry a `jax.custom_jvp`
+        rule that re-derives primal+tangent from the jnp lowering (Pallas
+        kernels have no JVP rule), so `jax.jvp`/`jax.grad` through a plain
+        `opdef()` call — e.g. the JFNK residual in `solvers/newton.py` —
+        works on TPU with no caller opt-in. `differentiable=True` is an
+        explicit escape hatch that returns the jnp-view callable outright
+        (no Pallas primal at all) for callers that want a single lowering
+        under and outside differentiation.
         """
         if differentiable and self.backend != "jnp":
             return self._jnp_view().opdef(name)

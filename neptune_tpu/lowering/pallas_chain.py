@@ -313,6 +313,7 @@ def chain_plan(
         "win": win,
         "last_use": last_use,
         "scalar_dtypes": scalar_dtypes,
+        "peak": peak,
     }
 
 
@@ -495,8 +496,12 @@ def execute_chain(
         for s, dt in zip(scalars, plan["scalar_dtypes"])
     )
     kwargs = {}
+    # working-set estimate must mirror the planner's accounting (2 scratch
+    # windows per field + the peak live intermediates + the out blocks) —
+    # undercounting skips the vmem_limit raise and Mosaic then rejects a
+    # plan the planner declared eligible
     est_bytes = math.prod(shape[1:]) * dtype.itemsize * (
-        (2 * n_f + 3) * win + 2 * slab
+        (2 * n_f + plan["peak"] + 1) * win + 2 * slab
     )
     if not interpret and est_bytes > 14 * 1024 * 1024:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -529,10 +534,21 @@ def chain_callable(module: Module, name: str):
         return None
     n_f, n_s = plan["n_fields"], plan["n_scalars"]
 
+    shape = plan["shape"]
+
     def run(*args):
-        assert len(args) == n_f + n_s, (
-            f"@{name} expects {n_f + n_s} args, got {len(args)}"
-        )
+        if len(args) != n_f + n_s:
+            raise TypeError(
+                f"@{name} expects {n_f + n_s} args, got {len(args)}"
+            )
+        for i, a in enumerate(args[:n_f]):
+            got = getattr(a, "shape", None)
+            if got != shape:
+                # same contract as _make_callable: mis-shaped inputs are a
+                # TypeError, never a silently truncated window pass
+                raise TypeError(
+                    f"@{name} arg {i}: shape {got} != declared {shape}"
+                )
         return execute_chain(
             plan,
             args[:n_f],

@@ -121,7 +121,7 @@ def bicgstab_sharded(
                 Ws = jnp.stack(
                     [v.reshape(-1) for v in V] + [rhat_eff.reshape(-1)]
                 )
-                Gx = gsum(jnp.matmul(Ws, Ws.T, precision="highest"))
+                Gx = gsum(_mm(Ws, Ws.T))
                 G_raw = Gx[:m, :m]
                 g_raw = Gx[m, :m]  # g[i] = (r̃0, V_i)
 

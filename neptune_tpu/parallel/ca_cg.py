@@ -139,7 +139,7 @@ def cg_sharded(
 
                 # ---- one psum: the Gram matrix ----
                 Vs = jnp.stack([v.reshape(-1) for v in V])
-                G = gsum(jnp.matmul(Vs, Vs.T, precision="highest"))
+                G = gsum(_mm(Vs, Vs.T))
 
                 # The block-seed residual norm ||r0||² = G[r,r] is a direct
                 # sum of squares of the TRUE residual field — trustworthy.

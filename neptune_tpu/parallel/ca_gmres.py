@@ -123,7 +123,7 @@ def gmres_sharded(
 
                 # ---- one psum: the Gram matrix ----
                 Vs = jnp.stack([v.reshape(-1) for v in V])
-                G = gsum(jnp.matmul(Vs, Vs.T, precision="highest"))
+                G = gsum(_mm(Vs, Vs.T))
 
                 # Convergence is decided on the CYCLE SEED norm ||r0||² =
                 # G[0,0] — a direct sum of squares of the true residual
@@ -185,7 +185,12 @@ def gmres_sharded(
                 keep = rdiag > (
                     jnp.finfo(dtype).eps * s * jnp.max(rdiag)
                 )
-                R_safe = R_ls + jnp.diag(jnp.where(keep, 0.0, jnp.asarray(1.0, dtype)))
+                # dropped columns must be zeroed whole (not just the diagonal):
+                # their off-diagonal entries would otherwise fold garbage
+                # y_j into every kept component during back-substitution
+                R_safe = jnp.where(keep[None, :], R_ls, 0.0) + jnp.diag(
+                    jnp.where(keep, 0.0, jnp.asarray(1.0, dtype))
+                )
 
                 def tri_solve(rhs):
                     yk = jsp_solve_triangular(

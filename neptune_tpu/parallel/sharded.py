@@ -23,16 +23,10 @@ def _gspmd_view(cm: CompiledModule) -> CompiledModule:
     whole-array lowering (roll/where) automatically, but cannot see inside
     pallas_call — sharded execution therefore pins the jnp backend. (The
     shard_map + Pallas fusion lives in parallel.halo.sharded_stencil.)"""
-    if cm.backend == "jnp":
-        return cm
-    # cache the view on the parent: rebuilding it per sharded_opdef call
-    # would discard the opdef/structure caches and re-trace identical
-    # kernels on every solve
-    view = getattr(cm, "_gspmd_view_cache", None)
-    if view is None:
-        view = CompiledModule(cm.module, "jnp")
-        cm._gspmd_view_cache = view
-    return view
+    # the executor caches one jnp view per module (also used by the
+    # custom_jvp differentiation fallback) — sharing it keeps a single
+    # opdef/structure trace cache instead of re-jitting per view
+    return cm._jnp_view()
 
 
 def sharded_function(
