@@ -1026,7 +1026,12 @@ if __name__ == "__main__":
                 super().__setitem__(k, v)
                 p.write_text(json.dumps(self, indent=2))
 
-        res = full_suite(_AutoSave())
+        seed = _AutoSave()
+        if p.exists():
+            # seed with the previous run so an interrupted re-measure
+            # overwrites entries as it goes instead of gutting the file
+            seed.update(json.loads(p.read_text()))
+        res = full_suite(seed)
         print(json.dumps(dict(res), indent=2), file=sys.stderr)
     elif "--headline-only" not in sys.argv:
         for line in core_table():
