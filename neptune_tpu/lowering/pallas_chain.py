@@ -57,7 +57,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ir.core import Function, Module, Operation
 from ..ir.types import Bounds, ScalarType, StencilShape, TempType
-from . import jnp_backend
+from . import jnp_backend, pallas_backend
 
 # working-set budgets, mirroring pallas_multisweep: default, the rank-2
 # escalation for wide rows, and the rank-3 plane-row budget
@@ -419,9 +419,7 @@ def execute_chain(
                 for d in range(rank):
                     if offset[d]:
                         size = win if d == 0 else shape[d]
-                        s = pltpu.roll(
-                            s, jnp.int32((-offset[d]) % size), axis=d
-                        )
+                        s = pallas_backend._wrap_shift(s, d, offset[d], size)
                 return s
 
             svals = []

@@ -64,7 +64,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ir.core import Module, Operation
 from ..ir.types import Bounds, StencilShape, TempType
-from . import jnp_backend
+from . import jnp_backend, pallas_backend
 
 # this kernel holds 2 window scratches + ~3 live window values + the
 # double-buffered out block; budget sized so a 4096-wide f32 grid gets a
@@ -357,9 +357,7 @@ def execute_sweeps_resident(
                 s = src
                 for d in range(rank):
                     if offset[d]:
-                        s = pltpu.roll(
-                            s, jnp.int32((-offset[d]) % shape[d]), axis=d
-                        )
+                        s = pallas_backend._wrap_shift(s, d, offset[d], shape[d])
                 return s
 
             y = jnp_backend.eval_scalar_dag(
@@ -576,9 +574,7 @@ def _sweeps_window_impl(
                 for d in range(rank):
                     if offset[d]:
                         size = win if d == 0 else shape[d]
-                        s = pltpu.roll(
-                            s, jnp.int32((-offset[d]) % size), axis=d
-                        )
+                        s = pallas_backend._wrap_shift(s, d, offset[d], size)
                 return s
 
             y = jnp_backend.eval_scalar_dag(
@@ -785,9 +781,7 @@ def _sweeps_window2_impl(
                 for d in range(rank):
                     if offset[d]:
                         size = win if d == 0 else win1
-                        s = pltpu.roll(
-                            s, jnp.int32((-offset[d]) % size), axis=d
-                        )
+                        s = pallas_backend._wrap_shift(s, d, offset[d], size)
                 return s
 
             y = jnp_backend.eval_scalar_dag(
