@@ -464,27 +464,20 @@ def solve_linear(
     if not isinstance(matrix, MatrixHandle):
         raise TypeError("solve_linear: matrix must be a MatrixHandle (eager mode)")
     b_arr = _concrete_array(rhs)
-    M = None
-    if precond not in (None, "none"):
-        import jax.numpy as jnp
-
-        like = jnp.zeros(matrix.grid_shape, matrix.dtype)
-        dense = matrix.dense() if precond == "ssor" else None
-        M = make_preconditioner(
-            precond, matrix.matvec, like, matrix.halo, dense_matrix=dense
-        )
     from ..utils import profiling
     from ..utils.options import (
         LINEAR_OPTION_KEYS,
         linear_option_kwargs,
         merged_linear_options,
         parse_options,
+        split_precond_options,
     )
 
     opts = merged_linear_options(
         parse_options(options, LINEAR_OPTION_KEYS, where="solve_linear"),
         solver,
     )
+    pc_opts = split_precond_options(opts, precond)
     if precision == "mixed" and options:
         raise ValueError(
             "precision='mixed' does not support per-solve options; "
@@ -492,10 +485,10 @@ def solve_linear(
         )
 
     if precision == "mixed":
-        if precond == "ssor":
+        if precond in ("ssor_dense", "mg"):
             raise ValueError(
-                "precision='mixed' does not support the ssor preconditioner "
-                "(no f32 assembled matrix); use precond='jacobi' or 'none'"
+                f"precision='mixed' does not support precond={precond!r}; "
+                "use 'jacobi', 'ssor' (matrix-free) or 'none'"
             )
         from ..solvers.refine import refined_solve
 
@@ -521,6 +514,21 @@ def solve_linear(
             )
         return x
 
+    M = None
+    if precond == "mg":
+        from ..lowering.executor import auto_mg_preconditioner
+
+        cm = get_context().compiled()
+        M = auto_mg_preconditioner(cm.module, matrix, cm.backend, **pc_opts)
+    elif precond not in (None, "none"):
+        import jax.numpy as jnp
+
+        like = jnp.zeros(matrix.grid_shape, matrix.dtype)
+        dense = matrix.dense() if precond == "ssor_dense" else None
+        M = make_preconditioner(
+            precond, matrix.matvec, like, matrix.halo,
+            dense_matrix=dense, **pc_opts,
+        )
     if solver == "direct":
         if opts:
             raise ValueError(

@@ -412,9 +412,10 @@ class CompiledModule:
         max_iters = op.attrs["max_iters"]
         precond = op.attrs.get("precond", "none")
         precision = op.attrs.get("precision", "full")
-        from ..utils.options import merged_linear_options
+        from ..utils.options import merged_linear_options, split_precond_options
 
         opts = merged_linear_options(op.attrs.get("options"), solver)
+        pc_opts = split_precond_options(opts, precond)
         if precision == "mixed":
             if op.attrs.get("options"):
                 raise ValueError(
@@ -422,10 +423,11 @@ class CompiledModule:
                     "drop options= or use precision='full'"
                 )
             opts = {}
-            if precond == "ssor":
+            if precond in ("ssor_dense", "mg"):
                 raise ValueError(
-                    "precision='mixed' does not support the ssor "
-                    "preconditioner; use precond='jacobi' or 'none'"
+                    f"precision='mixed' does not support precond="
+                    f"{precond!r}; use 'jacobi', 'ssor' (matrix-free) or "
+                    "'none'"
                 )
             if solver == "direct":
                 raise ValueError(
@@ -497,11 +499,16 @@ class CompiledModule:
                 return x
 
         M = None
-        if precond not in (None, "none"):
+        if precond == "mg":
+            M = auto_mg_preconditioner(
+                self.module, handle, self.backend, **pc_opts
+            )
+        elif precond not in (None, "none"):
             like = jnp.zeros(handle.grid_shape, handle.dtype)
-            dense = handle.dense() if precond == "ssor" else None
+            dense = handle.dense() if precond == "ssor_dense" else None
             M = make_preconditioner(
-                precond, handle.matvec, like, handle.halo, dense_matrix=dense
+                precond, handle.matvec, like, handle.halo,
+                dense_matrix=dense, **pc_opts,
             )
         if solver == "direct":
             if opts:
@@ -707,6 +714,72 @@ class CompiledModule:
             lambda s: s + dt * rhs(s),  # 2: forward Euler
         ]
         return jax.lax.switch(jnp.clip(method, 0, 2), branches, state)
+
+
+class _CoarseOp:
+    """Minimal build_levels operand: a scaled coarse matvec + halo metadata."""
+
+    def __init__(self, matvec, halo):
+        self.matvec = matvec
+        self.halo = halo
+
+    def __call__(self, x):
+        return self.matvec(x)
+
+
+def auto_mg_preconditioner(
+    module: Module,
+    handle: MatrixHandle,
+    backend: Optional[str] = None,
+    *,
+    mg_levels: Optional[int] = None,
+    mg_smoother: str = "jacobi",
+):
+    """Geometric-MG preconditioner for `solve_linear(..., precond="mg")`.
+
+    The coarse hierarchy is built automatically by 2:1 re-instantiation of
+    the user's opdef (`passes.coarsen.coarsen_opdef`) with a 1/4-per-level
+    matvec damping — exact rediscretization for second-order (1/h²-scaled
+    or h²-absorbed) operators, the PDE-solver common case; other operator
+    orders should pass an explicit hierarchy to
+    `solvers.multigrid.mg_preconditioner` instead. Reference surface:
+    PETSc's `-pc_type mg -pc_mg_levels N` options
+    (`NeptunePETScRuntime.cpp:139-150`).
+
+    mg_levels: total level count including the finest (default: coarsen
+    while every extent stays even and the smallest stays >= 16, capped at
+    6 levels). mg_smoother: "jacobi" or "cheb" (both symmetric — required
+    for use inside CG; see solvers.multigrid.mg_preconditioner).
+    """
+    from ..passes.coarsen import coarsen_opdef
+    from ..solvers.multigrid import mg_preconditioner
+
+    shape = handle.grid_shape
+    if mg_levels is None:
+        mg_levels = 1
+        while (
+            mg_levels < 6
+            and all(s % (2**mg_levels) == 0 for s in shape)
+            and min(shape) // (2**mg_levels) >= 16
+        ):
+            mg_levels += 1
+    if mg_levels < 2:
+        raise ValueError(
+            f"precond='mg' needs at least 2 levels (grid {shape} with "
+            f"mg_levels={mg_levels}; extents must be even and >= 32 to "
+            "coarsen, or pass mg_levels explicitly)"
+        )
+    ops: list = [handle]
+    mod = module
+    for lvl in range(1, mg_levels):
+        mod = coarsen_opdef(mod, handle.symbol)
+        mv = CompiledModule(mod, backend).opdef(handle.symbol)
+        scale = 0.25**lvl  # rediscretization damping (see docstring)
+        ops.append(
+            _CoarseOp(lambda x, f=mv, s=scale: s * f(x), handle.halo)
+        )
+    like = jnp.zeros(shape, handle.dtype)
+    return mg_preconditioner(ops, like, smoother=mg_smoother)
 
 
 def compile_module(module: Module, backend: Optional[str] = None) -> CompiledModule:

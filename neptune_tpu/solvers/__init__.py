@@ -12,7 +12,13 @@ from .multigrid import (
     multigrid_solve,
     v_cycle,
 )
-from .precond import extract_diagonal, jacobi, make_preconditioner, ssor_dense
+from .precond import (
+    extract_diagonal,
+    jacobi,
+    make_preconditioner,
+    ssor_dense,
+    ssor_stencil,
+)
 from .diff import differentiable_root, differentiable_solve
 from .time import simulate
 
@@ -40,6 +46,7 @@ __all__ = [
     "jacobi",
     "make_preconditioner",
     "ssor_dense",
+    "ssor_stencil",
     "simulate",
     "differentiable_root",
     "differentiable_solve",

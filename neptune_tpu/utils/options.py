@@ -36,7 +36,39 @@ LINEAR_OPTION_KEYS = {
     "lam_min": float,  # Chebyshev spectrum lower bound (-ksp_chebyshev_eigenvalues)
     "lam_max": float,  # Chebyshev spectrum upper bound
     "check_every": int,  # Chebyshev residual-test period (0 = reduction-free)
+    # preconditioner options (consumed by the precond builder, not the
+    # Krylov loop — the analog of PETSc's -pc_* namespace):
+    "omega": float,  # SSOR relaxation weight (-pc_sor_omega)
+    "mg_levels": int,  # total geometric-MG levels incl. finest (-pc_mg_levels)
+    "mg_smoother": str,  # "jacobi" | "cheb" (-mg_levels_ksp_type analog)
 }
+
+# options consumed by the preconditioner construction; split off the dict
+# handed to the Krylov loop (PETSc's -pc_* vs -ksp_* namespaces)
+PRECOND_OPTION_KEYS = ("omega", "mg_levels", "mg_smoother")
+
+
+def split_precond_options(opts: dict, precond: str) -> dict:
+    """Pop the -pc_*-namespace options out of `opts`, validating that each
+    one applies to the selected preconditioner."""
+    pc = {k: opts.pop(k) for k in PRECOND_OPTION_KEYS if k in opts}
+    if "omega" in pc and precond not in ("ssor", "ssor_dense"):
+        raise ValueError(
+            "option 'omega' only applies to precond='ssor'/'ssor_dense' "
+            f"(got precond={precond!r})"
+        )
+    for k in ("mg_levels", "mg_smoother"):
+        if k in pc and precond != "mg":
+            raise ValueError(
+                f"option {k!r} only applies to precond='mg' "
+                f"(got precond={precond!r})"
+            )
+    if pc.get("mg_smoother") not in (None, "jacobi", "cheb"):
+        raise ValueError(
+            "mg_smoother must be 'jacobi' or 'cheb' "
+            f"(got {pc['mg_smoother']!r})"
+        )
+    return pc
 
 # Nonlinear (SNES-class) options.
 NONLINEAR_OPTION_KEYS = {

@@ -201,3 +201,194 @@ def test_fmg_start_saves_cycles():
     )
     r = b - ops[0].matvec(x)
     assert float(jnp.linalg.norm(r)) <= 1e-9 * float(jnp.linalg.norm(b)) * 1.01
+
+
+class TestCoarsenOpdef:
+    """passes.coarsen: re-instantiate an opdef at halved bounds (the
+    rediscretization behind solve_linear(..., precond="mg"); VERDICT r3
+    missing #1's mg half)."""
+
+    def _mk(self, n, name):
+        @ntp.linear_op_def(
+            bounds=([0, 0], [n, n]), interior=([1, 1], [n - 1, n - 1]),
+            dtype="float64", name=name,
+        )
+        def op(u):
+            return 4.0 * u[0, 0] - u[-1, 0] - u[1, 0] - u[0, -1] - u[0, 1]
+
+        return op
+
+    def test_coarse_matvec_matches_hand_built(self):
+        from neptune_tpu.lowering.executor import CompiledModule
+        from neptune_tpu.passes.coarsen import coarsen_opdef
+
+        ntp.reset_context()
+        self._mk(64, "fine")
+        mod = ntp.get_context().compiled().module
+        coarse = coarsen_opdef(mod, "fine")
+        mv_c = CompiledModule(coarse, "jnp").opdef("fine")
+
+        ntp.reset_context()
+        hand = ntp.assemble_matrix(self._mk(32, "hand"))
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((32, 32)))
+        np.testing.assert_array_equal(
+            np.asarray(mv_c(x)), np.asarray(hand.matvec(x))
+        )
+
+    def test_margins_preserved(self):
+        from neptune_tpu.passes.coarsen import coarsen_opdef
+
+        ntp.reset_context()
+
+        @ntp.nonlinear_op_def(
+            bounds=([0, 0], [64, 128]), interior=([2, 3], [62, 125]),
+            dtype="float64", name="wide",
+        )
+        def wide(u):
+            return u[0, 0] - 0.1 * (u[-2, 0] + u[2, 0] + u[0, -3] + u[0, 3])
+
+        mod = ntp.get_context().compiled().module
+        coarse = coarsen_opdef(mod, "wide")
+        fn = coarse.lookup("wide")
+        assert fn.ftype.inputs[0].bounds.shape == (32, 64)
+        ap = [o for o in fn.walk() if o.name == "neptune.apply"][0]
+        assert ap.attrs["bounds"].lb == (2, 3)
+        assert ap.attrs["bounds"].ub == (30, 61)
+
+    def test_odd_extent_rejected(self):
+        from neptune_tpu.passes.coarsen import coarsen_opdef
+
+        ntp.reset_context()
+        self._mk(34, "odd17")  # 34 halves to 17: a second halving must fail
+        mod = ntp.get_context().compiled().module
+        c1 = coarsen_opdef(mod, "odd17")
+        with pytest.raises(ValueError, match="coarsenable"):
+            coarsen_opdef(c1, "odd17")
+
+    def test_non_opdef_rejected(self):
+        from neptune_tpu.ir import Bounds, NeptuneBuilder, TensorType
+        from neptune_tpu.passes.coarsen import coarsen_opdef
+
+        b = NeptuneBuilder()
+        fn = b.make_function(
+            "entry", "func",
+            [TensorType("float64", (8, 8))], [TensorType("float64", (8, 8))],
+        )
+        b.push_block(fn.body)
+        b.return_([fn.body.args[0]])
+        b.pop_block()
+        with pytest.raises(NotImplementedError, match="not an opdef"):
+            coarsen_opdef(b.module, "entry")
+
+
+class TestMGPrecondAttr:
+    """precond='mg' through solve_linear (executor IR path + dsl eager) —
+    VERDICT r3 next-round #3."""
+
+    def _poisson(self, n, name="pmg"):
+        ntp.reset_context()
+
+        @ntp.linear_op_def(
+            bounds=([0, 0], [n, n]), interior=([1, 1], [n - 1, n - 1]),
+            dtype="float64", name=name,
+        )
+        def pmg(u):
+            return 4.0 * u[0, 0] - u[-1, 0] - u[1, 0] - u[0, -1] - u[0, 1]
+
+        return ntp.assemble_matrix(pmg)
+
+    def test_eager_mg_converges_fast(self):
+        H = self._poisson(128)
+        rng = np.random.default_rng(0)
+        b = rng.standard_normal((128, 128))
+        x = ntp.solve_linear(
+            H, b, solver="cg", tol=1e-10, max_iters=60, precond="mg",
+        )
+        r = b - np.asarray(H.matvec(jnp.asarray(x)))
+        assert np.linalg.norm(r) <= 1e-10 * np.linalg.norm(b) * 1.01
+
+    def test_mg_beats_jacobi_iterations(self):
+        from neptune_tpu.lowering.executor import auto_mg_preconditioner
+        from neptune_tpu.solvers import cg
+        from neptune_tpu.solvers.precond import jacobi as jacobi_pc
+
+        H = self._poisson(128, name="pmg2")
+        mod = ntp.get_context().compiled().module
+        rng = np.random.default_rng(1)
+        b = jnp.asarray(rng.standard_normal((128, 128)))
+        M = auto_mg_preconditioner(mod, H, "jnp")
+        x1, i1 = cg(H.matvec, b, tol=1e-8, maxiter=400, M=M)
+        Mj = jacobi_pc(H.matvec, jnp.zeros((128, 128)), H.halo)
+        x0, i0 = cg(H.matvec, b, tol=1e-8, maxiter=400, M=Mj)
+        assert bool(i1.converged)
+        assert int(i1.iters) < 40, int(i1.iters)  # h-independent cycle count
+        assert int(i1.iters) * 3 < int(i0.iters) or not bool(i0.converged)
+
+    def test_ir_path_with_mg_levels_option(self):
+        from neptune_tpu.ir import (
+            Bounds, F64, FieldType, NeptuneBuilder, TempType, TensorType,
+        )
+        from neptune_tpu.passes import compile_ir
+
+        n = 64
+        b = NeptuneBuilder()
+        bounds = Bounds.of([0, 0], [n, n])
+        interior = Bounds.of([1, 1], [n - 1, n - 1])
+        tt = TempType("float64", bounds)
+
+        fn = b.make_opdef("lapA", "linear_opdef", [tt], [tt])
+        b.push_block(fn.body)
+        op, body = b.start_apply([fn.body.args[0]], interior)
+        b.push_block(body)
+        u = body.args[2]
+        s = b.access(u, [-1, 0])
+        for o in ([1, 0], [0, -1], [0, 1]):
+            s = b.add(s, b.access(u, o))
+        b.yield_(b.sub(b.mul(b.constant(4.0, F64), b.access(u, [0, 0])), s))
+        b.pop_block()
+        b.return_([b.finish_apply(op)])
+        b.pop_block()
+
+        entry = b.make_function(
+            "entry", "func",
+            [TensorType("float64", (n, n))], [TensorType("float64", (n, n))],
+        )
+        b.push_block(entry.body)
+        rhs = b.load(b.wrap(entry.body.args[0], FieldType("float64", bounds)))
+        A = b.assemble_matrix("lapA")
+        x = b.solve_linear(
+            A, rhs, solver="cg", tol=1e-10, max_iters=80, precond="mg",
+            options={"mg_levels": 2, "mg_smoother": "jacobi"},
+        )
+        b.return_([x])
+        b.pop_block()
+
+        cm = compile_ir(b.module)
+        rng = np.random.default_rng(2)
+        bb = rng.standard_normal((n, n))
+        x = np.asarray(cm.function("entry")(bb))
+
+        ntp.reset_context()
+        H = self._poisson(n, name="oracle64")
+        r = bb - np.asarray(H.matvec(jnp.asarray(x)))
+        assert np.linalg.norm(r) <= 1e-10 * np.linalg.norm(bb) * 1.01
+
+    def test_precond_option_validation(self):
+        from neptune_tpu.utils.options import split_precond_options
+
+        with pytest.raises(ValueError, match="omega"):
+            split_precond_options({"omega": 1.2}, "jacobi")
+        with pytest.raises(ValueError, match="mg_levels"):
+            split_precond_options({"mg_levels": 3}, "ssor")
+        with pytest.raises(ValueError, match="mg_smoother"):
+            split_precond_options({"mg_smoother": "rb"}, "mg")
+        out = split_precond_options({"omega": 1.2}, "ssor")
+        assert out == {"omega": 1.2}
+
+    def test_mg_rejects_uncoarsenable(self):
+        H = self._poisson(24, name="tiny")  # 24 -> 12: min extent < 16
+        with pytest.raises(ValueError, match="mg"):
+            ntp.solve_linear(
+                H, np.ones((24, 24)), solver="cg", precond="mg",
+            )

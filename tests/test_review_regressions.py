@@ -142,14 +142,30 @@ class TestTraceMethodCleanup:
         ntp.get_context().compiled()
 
 
-class TestMixedSsorRejected:
-    def test_clear_error(self):
+class TestMixedPrecondSupport:
+    """Round 4 made 'ssor' matrix-free, so mixed precision now accepts it;
+    the assembled-matrix and hierarchy preconditioners stay rejected."""
+
+    def _handle(self):
         @ntp.linear_op_def(bounds=([0], [16]), interior=([1], [15]))
         def lap(u):
             return 2.0 * u[0] - u[-1] - u[1]
 
-        H = ntp.assemble_matrix(lap)
-        with pytest.raises(ValueError, match="ssor"):
+        return ntp.assemble_matrix(lap)
+
+    def test_mixed_ssor_now_supported(self):
+        H = self._handle()
+        b = np.ones(16)
+        x = ntp.solve_linear(
+            H, b, precision="mixed", precond="ssor", tol=1e-10
+        )
+        r = b - np.asarray(H.matvec(jnp.asarray(x)))
+        assert np.linalg.norm(r) <= 1e-10 * np.linalg.norm(b) * 1.01
+
+    @pytest.mark.parametrize("pc", ["ssor_dense", "mg"])
+    def test_mixed_rejects_non_matrix_free(self, pc):
+        H = self._handle()
+        with pytest.raises(ValueError, match=pc):
             ntp.solve_linear(
-                H, np.ones(16), precision="mixed", precond="ssor"
+                H, np.ones(16), precision="mixed", precond=pc
             )
