@@ -7,8 +7,10 @@ grid walks **slabs along dim 0**, with halo coverage provided by passing the
 same input array three times (previous/current/next slab blocks) under
 shifted-and-clamped block index maps — the Pallas equivalent of ghost cells
 (any dim-0 halo up to one slab). Within a slab the full extent of the
-trailing dims lives in VMEM, so trailing-dim neighbor reads are register/VPU
-shifts (`pltpu.roll`), and dim-0 neighbor reads are static slices of the
+trailing dims lives in VMEM, so trailing-dim neighbor reads are static
+slice+concat shifts (`wrap_shift`; measured faster than `pltpu.roll`, which
+is reserved for dynamic/traced shifts such as the rank-2 DMA edge realign),
+and dim-0 neighbor reads are static slices of the
 halo-extended slab. The copy-through boundary contract is enforced in-kernel
 with an index mask (computed from `program_id` + iota — no extra memory
 traffic), exactly mirroring the jnp backend's mask-select semantics.
@@ -114,10 +116,6 @@ def _dma_profitable(op: Operation) -> bool:
     the DMA kernel: the (N1, N2)-plane rows force tiny multi-copy slabs
     (3x read amplification, ~70% of roofline at 256^3), while the
     dims-0-1-collapsed rolling window reads each row ~1.1x (measured ~93%)."""
-    if op.attrs.get("periodic"):
-        # the DMA window clamps at the domain edge; periodic wrap needs the
-        # multi-copy path's modular block index maps
-        return False
     sshape: StencilShape = op.attrs.get("shape") or StencilShape(())
     if not sshape.offsets:
         return False
@@ -135,7 +133,7 @@ def _dma_profitable(op: Operation) -> bool:
     return 2 <= h0 <= 8
 
 
-def _wrap_shift(arr, d: int, offset: int, size: int):
+def wrap_shift(arr, d: int, offset: int, size: int):
     """view[i] = arr[i + offset] with wraparound along axis d.
 
     Static shifts lower as two static slices + concat: measured ~20%
@@ -143,6 +141,9 @@ def _wrap_shift(arr, d: int, offset: int, size: int):
     168 -> 133 us), and Mosaic cannot rotate non-32-bit data at all
     ("Rotate with non-32-bit data"), so concat is also the only bf16
     path. Dynamic (traced) shifts must keep using pltpu.roll.
+
+    Shared neighbor-access primitive for every window kernel family
+    (this module, pallas_multisweep, pallas_chain).
     """
     if offset == 0:
         return arr
@@ -150,6 +151,9 @@ def _wrap_shift(arr, d: int, offset: int, size: int):
     lo = jax.lax.slice_in_dim(arr, k, size, axis=d)
     hi = jax.lax.slice_in_dim(arr, 0, k, axis=d)
     return jnp.concatenate([lo, hi], axis=d)
+
+
+_wrap_shift = wrap_shift  # backward-compat alias
 
 
 def _execute(op: Operation, operand_arrays, *, interpret: bool):
@@ -355,20 +359,211 @@ def _pick_slab_collapsed(extent0: int, row_bytes: int, n_in: int,
 def _execute_dma(op: Operation, operand_arrays, *, interpret: bool):
     """Route to the rank-specific rolling-window kernel.
 
-    The two ranks want structurally different schemes (measured on v5e):
-    - rank 3 windows along dim 0, which Mosaic leaves UNTILED — window
-      starts/halos need no alignment, edge windows land via pl.when-branched
-      partial DMAs, and dim-0 accesses are free ref slices (84.7 vs 71
-      Gcell/s multi-copy on the 256^3 7-pt sweep).
-    - rank 2 windows live on the TILED sublane dim — partial edge DMAs would
-      leave data at shifted scratch offsets that only unaligned (relayout-
-      per-access) loads could read, so it instead fetches clamped aligned
-      windows and realigns edges with one in-register pltpu.roll (73 vs 52
-      Gcell/s branched-DMA on the 4th-order advection sweep).
+    Both ranks use the same RING HEAD-COPY window scheme (round 4): the
+    HBM fetch brings only each window's new rows, the 2*h0p overlap rows
+    ride a VMEM->VMEM copy of the previous window's tail, and every scratch
+    offset is identical on every step — no halo re-read from HBM, no edge
+    clamping, no realignment rotate. The ranks differ only in alignment:
+    - rank 3 windows along dim 0, which Mosaic leaves UNTILED — the halo
+      pad is exactly the stencil halo (h0p = h0) and dim-0 accesses are
+      free ref slices.
+    - rank 2 windows live on the TILED sublane dim — h0p pads to the
+      sublane tile (8 rows f32 / 16 bf16) so every DMA offset stays
+      tile-aligned (the round-3 clamp+pltpu.roll realignment this replaces
+      paid a whole-window dynamic rotate on every step).
     """
     if op.results[0].type.bounds.rank == 3:
         return _execute_dma_rank3(op, operand_arrays, interpret=interpret)
     return _execute_dma_rank2(op, operand_arrays, interpret=interpret)
+
+
+def _ring_window_io(
+    i,
+    hbm_refs,
+    scratches,
+    sems,
+    *,
+    n_in: int,
+    slab: int,
+    h0p: int,
+    win: int,
+    n_slabs: int,
+    N: int,
+    al: int,
+    periodic: bool,
+):
+    """All window DMA traffic for grid step `i` of a ring head-copy kernel.
+
+    Invariant: scratch row (h0p + r) of slot i%2 holds global row
+    (i*slab + r). Each step's HBM fetch brings only the NEW rows
+    [i*slab + h0p, i*slab + slab + h0p); the 2*h0p head rows ride a
+    VMEM->VMEM copy of the previous window's tail (issued by step i-1
+    after ITS fetch completed). At the array edges the sticking-out rows
+    are either wrapped torus rows (periodic=True: two extra edge DMAs from
+    the far end of the array) or left stale (periodic=False: they alias
+    out-of-domain reads that the copy-through mask discards).
+
+    Semaphore layout sems[k, slot, j]: j=0 main fetch, j=1 head
+    (VMEM copy, or the step-0 periodic head wrap), j=2 periodic tail wrap.
+
+    On return, slot i%2 holds the complete window; the next window's fetch
+    and head copy are in flight.
+    """
+    if h0p == 0:
+        def fetch(step, slot):
+            for k in range(n_in):
+                pltpu.make_async_copy(
+                    hbm_refs[k].at[pl.ds(pl.multiple_of(step * slab, al), win)],
+                    scratches[k].at[slot],
+                    sems.at[k, slot, 0],
+                ).start()
+
+        @pl.when(i == 0)
+        def _():
+            fetch(jnp.int32(0), 0)
+
+        @pl.when(i + 1 < n_slabs)
+        def _():
+            fetch(i + 1, (i + 1) % 2)
+
+        for k in range(n_in):
+            pltpu.make_async_copy(
+                hbm_refs[k].at[pl.ds(0, win)],
+                scratches[k].at[i % 2],
+                sems.at[k, i % 2, 0],
+            ).wait()
+        return
+
+    def start_fetch(step, slot):
+        first = step == 0
+        last = step == n_slabs - 1
+
+        @pl.when(first)
+        def _():
+            # head-inclusive: no previous window to copy from
+            for k in range(n_in):
+                pltpu.make_async_copy(
+                    hbm_refs[k].at[pl.ds(0, slab + h0p)],
+                    scratches[k].at[slot].at[pl.ds(h0p, slab + h0p)],
+                    sems.at[k, slot, 0],
+                ).start()
+            if periodic:
+                # torus head: global rows [-h0p, 0) = [N-h0p, N)
+                for k in range(n_in):
+                    pltpu.make_async_copy(
+                        hbm_refs[k].at[pl.ds(N - h0p, h0p)],
+                        scratches[k].at[slot].at[pl.ds(0, h0p)],
+                        sems.at[k, slot, 1],
+                    ).start()
+
+        if slab > h0p:  # slab == h0p: the last window has no new rows
+
+            @pl.when(last & jnp.logical_not(first))
+            def _():
+                # tail rows [N, N+h0p) don't exist: fetch stops at N
+                for k in range(n_in):
+                    start = pl.multiple_of(step * slab + h0p, al)
+                    pltpu.make_async_copy(
+                        hbm_refs[k].at[pl.ds(start, slab - h0p)],
+                        scratches[k].at[slot].at[pl.ds(2 * h0p, slab - h0p)],
+                        sems.at[k, slot, 0],
+                    ).start()
+
+        if periodic:
+
+            @pl.when(last & jnp.logical_not(first))
+            def _():
+                # torus tail: global rows [N, N+h0p) = [0, h0p)
+                for k in range(n_in):
+                    pltpu.make_async_copy(
+                        hbm_refs[k].at[pl.ds(0, h0p)],
+                        scratches[k].at[slot].at[pl.ds(slab + h0p, h0p)],
+                        sems.at[k, slot, 2],
+                    ).start()
+
+        @pl.when(jnp.logical_not(first) & jnp.logical_not(last))
+        def _():
+            for k in range(n_in):
+                start = pl.multiple_of(step * slab + h0p, al)
+                pltpu.make_async_copy(
+                    hbm_refs[k].at[pl.ds(start, slab)],
+                    scratches[k].at[slot].at[pl.ds(2 * h0p, slab)],
+                    sems.at[k, slot, 0],
+                ).start()
+
+    def wait_fetch(step, slot):
+        # the wait descriptor must match the byte count of the copy that
+        # step `step` started into `slot`
+        def wait_rows(rows, j=0):
+            for k in range(n_in):
+                pltpu.make_async_copy(
+                    hbm_refs[k].at[pl.ds(0, rows)],
+                    scratches[k].at[slot].at[pl.ds(0, rows)],
+                    sems.at[k, slot, j],
+                ).wait()
+
+        @pl.when(step == 0)
+        def _():
+            wait_rows(slab + h0p)
+            if periodic:
+                wait_rows(h0p, 1)
+
+        if slab > h0p:
+
+            @pl.when((step == n_slabs - 1) & (step != 0))
+            def _():
+                wait_rows(slab - h0p)
+
+        if periodic:
+
+            @pl.when((step == n_slabs - 1) & (step != 0))
+            def _():
+                wait_rows(h0p, 2)
+
+        @pl.when((step != 0) & (step != n_slabs - 1))
+        def _():
+            wait_rows(slab)
+
+    def start_head_copy(slot_from, slot_to):
+        # previous window's last 2*h0p rows = next window's head
+        for k in range(n_in):
+            pltpu.make_async_copy(
+                scratches[k].at[slot_from].at[pl.ds(slab, 2 * h0p)],
+                scratches[k].at[slot_to].at[pl.ds(0, 2 * h0p)],
+                sems.at[k, slot_to, 1],
+            ).start()
+
+    def wait_head_copy(slot):
+        for k in range(n_in):
+            pltpu.make_async_copy(
+                scratches[k].at[slot].at[pl.ds(0, 2 * h0p)],
+                scratches[k].at[slot].at[pl.ds(0, 2 * h0p)],
+                sems.at[k, slot, 1],
+            ).wait()
+
+    # warm-up: first step fetches its own window
+    @pl.when(i == 0)
+    def _():
+        start_fetch(jnp.int32(0), 0)
+
+    # prefetch the next window's NEW rows into the other slot
+    @pl.when(i + 1 < n_slabs)
+    def _():
+        start_fetch(i + 1, (i + 1) % 2)
+
+    wait_fetch(i, i % 2)
+
+    # this window's head rode a local copy issued by the previous step
+    # (after ITS fetch completed, so the source rows were ready)
+    @pl.when(i >= 1)
+    def _():
+        wait_head_copy(i % 2)
+
+    # now that rows [slab, win) of this slot are complete, they can seed
+    # the NEXT window's head (overlaps with the compute that follows)
+    @pl.when(i + 1 < n_slabs)
+    def _():
+        start_head_copy(i % 2, (i + 1) % 2)
 
 
 def _execute_dma_rank3(op: Operation, operand_arrays, *, interpret: bool):
@@ -420,6 +615,7 @@ def _execute_dma_rank3(op: Operation, operand_arrays, *, interpret: bool):
     body = op.region(0)
     n_results = len(op.results)
     full_domain = bounds == outer
+    periodic = bool(op.attrs.get("periodic"))
 
     # The copy-through mask is separable: an in-kernel per-cell rebuild
     # (3 iotas + 6 compares per step) measured ~10% of the whole sweep.
@@ -457,97 +653,11 @@ def _execute_dma_rank3(op: Operation, operand_arrays, *, interpret: bool):
 
         i = pl.program_id(0)
 
-        # Scratch row (h0p + r) always holds global row (step*slab + r).
-        # The ideal HBM window [step*slab - h0p, step*slab + slab + h0p)
-        # sticks out of the array only at the first and last slab; there a
-        # pl.when-branched PARTIAL copy lands the valid rows at the right
-        # scratch offset and leaves the sticking-out scratch rows stale —
-        # they alias reads whose original coordinates are outside the
-        # domain, which the copy-through mask discards. This keeps every
-        # step free of rotation/realignment work (a whole-window shuffle or
-        # copy per step measured 49 vs ~95 Gcell/s on the 256^3 collapsed
-        # sweep, and Mosaic cannot legalize lax.cond's select on windows).
-        edge_len = slab + h0p
-
-        def start_fetch(step, slot):
-            if h0p == 0:
-                for k in range(n_in):
-                    pltpu.make_async_copy(
-                        hbm_refs[k].at[pl.ds(pl.multiple_of(step * slab, al), win)],
-                        scratches[k].at[slot],
-                        sems.at[k, slot],
-                    ).start()
-                return
-            first = step == 0
-            last = step == n_slabs - 1
-
-            @pl.when(first)
-            def _():
-                for k in range(n_in):
-                    pltpu.make_async_copy(
-                        hbm_refs[k].at[pl.ds(0, edge_len)],
-                        scratches[k].at[slot].at[pl.ds(h0p, edge_len)],
-                        sems.at[k, slot],
-                    ).start()
-
-            @pl.when(last & jnp.logical_not(first))
-            def _():
-                for k in range(n_in):
-                    pltpu.make_async_copy(
-                        hbm_refs[k].at[pl.ds(kshape[0] - edge_len, edge_len)],
-                        scratches[k].at[slot].at[pl.ds(0, edge_len)],
-                        sems.at[k, slot],
-                    ).start()
-
-            @pl.when(jnp.logical_not(first) & jnp.logical_not(last))
-            def _():
-                for k in range(n_in):
-                    start = pl.multiple_of(step * slab - h0p, al)
-                    pltpu.make_async_copy(
-                        hbm_refs[k].at[pl.ds(start, win)],
-                        scratches[k].at[slot],
-                        sems.at[k, slot],
-                    ).start()
-
-        def wait_fetch(step, slot):
-            # the wait descriptor must match the byte count of the copy that
-            # step `step` started into `slot` (edge steps copy edge_len rows)
-            if h0p == 0:
-                edge = None
-            else:
-                edge = (step == 0) | (step == n_slabs - 1)
-
-            def wait_rows(rows):
-                for k in range(n_in):
-                    pltpu.make_async_copy(
-                        hbm_refs[k].at[pl.ds(0, rows)],
-                        scratches[k].at[slot].at[pl.ds(0, rows)],
-                        sems.at[k, slot],
-                    ).wait()
-
-            if edge is None:
-                wait_rows(win)
-            else:
-
-                @pl.when(edge)
-                def _():
-                    wait_rows(edge_len)
-
-                @pl.when(jnp.logical_not(edge))
-                def _():
-                    wait_rows(win)
-
-        # warm-up: first step fetches its own window
-        @pl.when(i == 0)
-        def _():
-            start_fetch(jnp.int32(0), 0)
-
-        # prefetch the next window into the other slot
-        @pl.when(i + 1 < n_slabs)
-        def _():
-            start_fetch(i + 1, (i + 1) % 2)
-
-        wait_fetch(i, i % 2)
+        _ring_window_io(
+            i, hbm_refs, scratches, sems,
+            n_in=n_in, slab=slab, h0p=h0p, win=win, n_slabs=n_slabs,
+            N=kshape[0], al=al, periodic=periodic,
+        )
 
         slot = i % 2
 
@@ -645,7 +755,7 @@ def _execute_dma_rank3(op: Operation, operand_arrays, *, interpret: bool):
     ]
     scratch_shapes = [
         pltpu.VMEM((2, win) + kshape[1:], dtype) for _ in range(n_in)
-    ] + [pltpu.SemaphoreType.DMA((n_in, 2))]
+    ] + [pltpu.SemaphoreType.DMA((n_in, 2, 3))]
 
     scalar_args = [jnp.asarray(s).reshape(1, 1) for s in scalars]
     call_inputs = [jnp.asarray(a, dtype) for a in inputs] + scalar_args
@@ -676,15 +786,14 @@ def _execute_dma_rank3(op: Operation, operand_arrays, *, interpret: bool):
 
 
 def _execute_dma_rank2(op: Operation, operand_arrays, *, interpret: bool):
-    """Rank-2 rolling window on the tiled sublane dim (clamp + roll).
+    """Rank-2 rolling window on the tiled sublane dim (ring head-copy).
 
     Mosaic requires sublane-tile-aligned buffer shapes and slice starts on
-    the second-minor dim, so the window start is clamped to an aligned
-    position and edge windows are realigned with ONE in-register rotate per
-    input (pltpu.roll for 32-bit; static slice+concat for bf16) — cheaper
-    than the rank-3 scheme's branched partial DMAs here, whose shifted
-    scratch offsets would force a relayout copy on every unaligned sublane
-    access (measured 73 vs 52 Gcell/s on the 4th-order advection sweep).
+    the second-minor dim; the ring scheme satisfies this by construction
+    (slab, h0p, and every window start are tile multiples), so edge windows
+    need no realignment at all — dtype-independent (the round-3 variant
+    needed a dynamic pltpu.roll, 32-bit-only, with a branched static-shift
+    fallback for bf16).
     """
     out_type: TempType = op.results[0].type
     n_in = op.attrs.get("num_inputs", len(op.operands))
@@ -706,13 +815,18 @@ def _execute_dma_rank2(op: Operation, operand_arrays, *, interpret: bool):
         raise NotImplementedError(f"dma kernel supports dim-0 halo <= {al}")
 
     row_bytes = math.prod(shape[1:]) * dtype.itemsize
-    # working set: n_in double-buffered windows + out block + temps
-    slab = _pick_slab(shape[0], row_bytes, 2 * n_in + 2, align=al)
+    # ~4MB out blocks (same sweet spot as the rank-3 kernel: bigger slabs
+    # amortize per-step DMA issue/mask work, smaller ones pipeline better;
+    # with the ring head-copy there is no halo re-read to trade against)
+    slab = _pick_slab_collapsed(
+        shape[0], row_bytes, n_in, len(op.results), h0p, al,
+        budget=40 * 1024 * 1024,
+    )
+    if slab is None:
+        raise NotImplementedError("no feasible slab for rank-2 window")
     if shape[0] % slab != 0:
         raise NotImplementedError("dma kernel requires dim0 divisible by slab")
     if h0p > slab:
-        # interior windows would clamp; the edge-rotation correction only
-        # handles the first/last slab
         raise NotImplementedError("dim-0 halo exceeds the slab height")
     n_slabs = shape[0] // slab
     win = slab + 2 * h0p
@@ -722,95 +836,49 @@ def _execute_dma_rank2(op: Operation, operand_arrays, *, interpret: bool):
     body = op.region(0)
     n_results = len(op.results)
     full_domain = bounds == outer
+    periodic = bool(op.attrs.get("periodic"))
+
+    # Copy-through mask, split like the rank-3 kernel: the lane-dim
+    # interior mask is host-precomputed and fetched ONCE by the pipeline
+    # (an in-kernel per-step rebuild measured ~10% of the rank-3 sweep);
+    # the dim-0 range test is pl.when-gated so only slabs that intersect
+    # the dim-0 boundary pay for it.
+    mask_trail = None
+    lb0p = ub0p = 0
+    if not full_domain:
+        import numpy as _np
+
+        idx1 = _np.arange(shape[1]) + outer.lb[1]
+        mt = ((idx1 >= bounds.lb[1]) & (idx1 < bounds.ub[1])).astype(_np.int32)
+        mask_trail = jnp.asarray(mt.reshape(1, shape[1]))
+        lb0p = bounds.lb[0] - outer.lb[0]
+        ub0p = bounds.ub[0] - outer.lb[0]
+    n_mask = 0 if mask_trail is None else 1
 
     def kernel(*refs):
         hbm_refs = refs[:n_in]
         scalar_refs = refs[n_in : n_in + len(scalars)]
-        out_refs = refs[n_in + len(scalars) : n_in + len(scalars) + n_results]
-        scratches = refs[n_in + len(scalars) + n_results : -1]
-        sems = refs[-1]  # DMA semaphores, shape (n_in, 2)
+        mask_ref = refs[n_in + len(scalars)] if n_mask else None
+        out_refs = refs[
+            n_in + len(scalars) + n_mask : n_in + len(scalars) + n_mask + n_results
+        ]
+        scratches = refs[n_in + len(scalars) + n_mask + n_results : -1]
+        sems = refs[-1]  # DMA semaphores, shape (n_in, 2, 2)
 
         i = pl.program_id(0)
 
-        def window_start(step):
-            # slab, h0p, and shape[0]-win are all multiples of the sublane
-            # tile, so the clamped start is too — pl.multiple_of carries the
-            # proof Mosaic needs for the tiled HBM slice
-            ideal = step * slab - h0p
-            w = jnp.clip(ideal, jnp.int32(0), jnp.int32(shape[0] - win)).astype(
-                jnp.int32
-            )
-            return pl.multiple_of(w, al)
+        _ring_window_io(
+            i, hbm_refs, scratches, sems,
+            n_in=n_in, slab=slab, h0p=h0p, win=win, n_slabs=n_slabs,
+            N=shape[0], al=al, periodic=periodic,
+        )
 
-        def start_fetch(step, slot):
-            for k in range(n_in):
-                pltpu.make_async_copy(
-                    hbm_refs[k].at[pl.ds(window_start(step), win)],
-                    scratches[k].at[slot],
-                    sems.at[k, slot],
-                ).start()
-
-        def wait_fetch(slot):
-            for k in range(n_in):
-                pltpu.make_async_copy(
-                    hbm_refs[k].at[pl.ds(jnp.int32(0), win)],
-                    scratches[k].at[slot],
-                    sems.at[k, slot],
-                ).wait()
-
-        # warm-up: first step fetches its own window
-        @pl.when(i == 0)
-        def _():
-            start_fetch(jnp.int32(0), 0)
-
-        # prefetch the next window into the other slot
-        @pl.when(i + 1 < n_slabs)
-        def _():
-            start_fetch(i + 1, (i + 1) % 2)
-
-        wait_fetch(i % 2)
-
-        w = window_start(i)
         slot = i % 2
-        # Ideal window start is i*slab - h0p; clamping shifts it only at the
-        # first slab (delta = -h0p) and last slab (delta = +h0p) — slab >=
-        # h0p guarantees interior slabs never clamp. The window must be
-        # rotated by -delta so scratch row (h0p + o0 + r) is global row
-        # (i*slab + r + o0); wrapped rows fall in the unspecified out-of-
-        # domain zone and are masked by the copy-through select. 32-bit data
-        # uses Mosaic's dynamic rotate; bf16 (no narrow-dtype rotate in
-        # Mosaic) branches on the grid position to *static* slice+concat
-        # shifts of ±h0p, which are sublane-aligned by construction.
-        delta = (i * slab - jnp.int32(h0p)) - w
-
-        def _static_rotate(v, k_shift):
-            k_shift %= win
-            if k_shift == 0:
-                return v
-            lo = jax.lax.slice_in_dim(v, k_shift, win, axis=0)
-            hi = jax.lax.slice_in_dim(v, 0, k_shift, axis=0)
-            return jnp.concatenate([lo, hi], axis=0)
-
         ext_cache: dict = {}
 
         def ext(k):
             if k not in ext_cache:
-                v = scratches[k][slot]
-                if dtype.itemsize == 4:
-                    v = pltpu.roll(v, ((-delta) % win).astype(jnp.int32), axis=0)
-                else:
-                    v = jax.lax.cond(
-                        i == 0,
-                        lambda u: _static_rotate(u, win - h0p),  # delta=-h0p
-                        lambda u: jax.lax.cond(
-                            i == n_slabs - 1,
-                            lambda t: _static_rotate(t, h0p),  # delta=+h0p
-                            lambda t: t,
-                            u,
-                        ),
-                        v,
-                    )
-                ext_cache[k] = v
+                ext_cache[k] = scratches[k][slot]
             return ext_cache[k]
 
         def access_fn(k, offset):
@@ -833,23 +901,38 @@ def _execute_dma_rank2(op: Operation, operand_arrays, *, interpret: bool):
             body, rank, n_in, access_fn, index_fn, scalar_vals, pinned=False
         )
 
-        mask = None
-        if not full_domain:
-            for d in range(rank):
-                iv = index_fn(d)
-                m = (iv >= bounds.lb[d]) & (iv < bounds.ub[d])
-                mask = m if mask is None else (mask & m)
-
+        blk = (slab,) + shape[1:]
+        vals, seeds = [], []
         for j in range(n_results):
-            val = jnp.broadcast_to(jnp.asarray(yields[j], dtype), (slab,) + shape[1:])
-            if mask is None:
-                out_refs[j][...] = val
+            vals.append(jnp.broadcast_to(jnp.asarray(yields[j], dtype), blk))
+            if mask_ref is None:
+                seeds.append(None)
+            elif j < n_in:
+                seeds.append(
+                    jax.lax.slice_in_dim(ext(j), h0p, h0p + slab, axis=0)
+                )
             else:
-                if j < n_in:
-                    seed = jax.lax.slice_in_dim(ext(j), h0p, h0p + slab, axis=0)
-                else:
-                    seed = jnp.zeros((slab,) + shape[1:], dtype)
-                out_refs[j][...] = jnp.where(mask, val, seed)
+                seeds.append(jnp.zeros(blk, dtype))
+
+        if mask_ref is None:
+            for j in range(n_results):
+                out_refs[j][...] = vals[j]
+        else:
+            m12 = jnp.broadcast_to(mask_ref[...] != 0, blk)
+            # does this slab contain any dim-0 boundary rows?
+            need0 = (i * slab < lb0p) | ((i + 1) * slab > ub0p)
+
+            @pl.when(need0)
+            def _():
+                iv0 = jax.lax.broadcasted_iota(jnp.int32, blk, 0) + i * slab
+                m = m12 & (iv0 >= lb0p) & (iv0 < ub0p)
+                for j in range(n_results):
+                    out_refs[j][...] = jnp.where(m, vals[j], seeds[j])
+
+            @pl.when(jnp.logical_not(need0))
+            def _():
+                for j in range(n_results):
+                    out_refs[j][...] = jnp.where(m12, vals[j], seeds[j])
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_in)]
     for _ in scalars:
@@ -858,6 +941,15 @@ def _execute_dma_rank2(op: Operation, operand_arrays, *, interpret: bool):
                 (1, 1),
                 lambda i: (jnp.int32(0), jnp.int32(0)),
                 memory_space=pltpu.SMEM,
+            )
+        )
+    if mask_trail is not None:
+        # constant block index: the pipeline fetches the mask once
+        in_specs.append(
+            pl.BlockSpec(
+                (1, shape[1]),
+                lambda i: (jnp.int32(0), jnp.int32(0)),
+                memory_space=pltpu.VMEM,
             )
         )
     out_specs = [
@@ -870,14 +962,24 @@ def _execute_dma_rank2(op: Operation, operand_arrays, *, interpret: bool):
     ]
     scratch_shapes = [
         pltpu.VMEM((2, win) + shape[1:], dtype) for _ in range(n_in)
-    ] + [pltpu.SemaphoreType.DMA((n_in, 2))]
+    ] + [pltpu.SemaphoreType.DMA((n_in, 2, 3))]
 
     scalar_args = [jnp.asarray(s).reshape(1, 1) for s in scalars]
     call_inputs = [jnp.asarray(a, dtype) for a in inputs] + scalar_args
+    if mask_trail is not None:
+        call_inputs.append(mask_trail)
     out_shape = [
         jax.ShapeDtypeStruct(shape, jnp.dtype(r.type.element)) for r in op.results
     ]
 
+    kwargs = {}
+    if not interpret:
+        # the ~4MB-out-block slabs push the double-buffered windows past
+        # the default scoped-vmem limit; v5e has headroom (the rank-3 and
+        # multisweep kernels use the same raise)
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        )
     return pl.pallas_call(
         kernel,
         grid=(n_slabs,),
@@ -886,6 +988,7 @@ def _execute_dma_rank2(op: Operation, operand_arrays, *, interpret: bool):
         out_shape=out_shape if n_results > 1 else out_shape[0],
         scratch_shapes=scratch_shapes,
         interpret=interpret,
+        **kwargs,
     )(*call_inputs)
 
 

@@ -419,7 +419,7 @@ def execute_chain(
                 for d in range(rank):
                     if offset[d]:
                         size = win if d == 0 else shape[d]
-                        s = pallas_backend._wrap_shift(s, d, offset[d], size)
+                        s = pallas_backend.wrap_shift(s, d, offset[d], size)
                 return s
 
             svals = []

@@ -357,7 +357,7 @@ def execute_sweeps_resident(
                 s = src
                 for d in range(rank):
                     if offset[d]:
-                        s = pallas_backend._wrap_shift(s, d, offset[d], shape[d])
+                        s = pallas_backend.wrap_shift(s, d, offset[d], shape[d])
                 return s
 
             y = jnp_backend.eval_scalar_dag(
@@ -574,7 +574,7 @@ def _sweeps_window_impl(
                 for d in range(rank):
                     if offset[d]:
                         size = win if d == 0 else shape[d]
-                        s = pallas_backend._wrap_shift(s, d, offset[d], size)
+                        s = pallas_backend.wrap_shift(s, d, offset[d], size)
                 return s
 
             y = jnp_backend.eval_scalar_dag(
@@ -781,7 +781,7 @@ def _sweeps_window2_impl(
                 for d in range(rank):
                     if offset[d]:
                         size = win if d == 0 else win1
-                        s = pallas_backend._wrap_shift(s, d, offset[d], size)
+                        s = pallas_backend.wrap_shift(s, d, offset[d], size)
                 return s
 
             y = jnp_backend.eval_scalar_dag(

@@ -52,6 +52,8 @@ single-process, SURVEY.md §2.8).
 
 from __future__ import annotations
 
+import os
+import warnings
 from typing import Callable, Optional
 
 import jax.numpy as jnp
@@ -91,6 +93,32 @@ def gmres_sharded(
         solver="gmres_sharded", basis=basis, lam_min=lam_min,
         lam_max=lam_max,
     )
+    # Monomial small-s guard (VERDICT r3 weak #6 / ROADMAP numerics
+    # residue): monomial CA-GMRES at s=4 STALLS at ~2e-4 on TPU f32 — an
+    # arithmetic sensitivity of short-restart GMRES to the bf16-free but
+    # still-f32 Gram pipeline (s=6 converges in 618 iters; CPU f32
+    # converges at every s). A user who picks this config would get silent
+    # stagnation (the stall detector exits with converged=False after two
+    # flat cycles, but nothing says WHY), so the config is refused up
+    # front on TPU and warned about elsewhere. Override with
+    # NEPTUNE_ALLOW_MONOMIAL_SMALL_S=1 to experiment anyway.
+    if (
+        basis == "monomial"
+        and s <= 4
+        and sp.dtype == jnp.float32
+        and not os.environ.get("NEPTUNE_ALLOW_MONOMIAL_SMALL_S")
+    ):
+        from ..lowering.pallas_backend import _on_tpu
+
+        msg = (
+            f"gmres_sharded(basis='monomial', s={s}) stalls at ~2e-4 on "
+            "TPU f32 arithmetic (measured; docs/ROADMAP.md). Use "
+            "basis='chebyshev' (with lam_min/lam_max), raise s to >= 6, "
+            "or set NEPTUNE_ALLOW_MONOMIAL_SMALL_S=1 to run it anyway."
+        )
+        if _on_tpu():
+            raise ValueError(msg)
+        warnings.warn(msg, stacklevel=2)
     rank, names, need, spec = sp.rank, sp.names, sp.need, sp.spec
     outer, dtype, periodic = sp.outer, sp.dtype, sp.periodic
     theta, delta, matvec_block = sp.theta, sp.delta, sp.matvec_block
