@@ -119,6 +119,14 @@ def _dma_profitable(op: Operation) -> bool:
     sshape: StencilShape = op.attrs.get("shape") or StencilShape(())
     if not sshape.offsets:
         return False
+    # Manual HBM window DMAs slice the input memref along dim 0 with the
+    # trailing dims whole; Mosaic requires the sliced memref's LANE extent
+    # to be tile-aligned ("Slice shape along dimension 2 must be aligned
+    # to tiling (128)", observed on v5e at 64^3) — unaligned lane extents
+    # fall back to the multi-copy path, whose BlockSpec pipeline handles
+    # padding internally.
+    if op.results[0].type.bounds.shape[-1] % 128:
+        return False
     # bf16 is *supported* by the DMA kernel (static slice+concat edge
     # correction — Mosaic's dynamic rotate is 32-bit-only) but measured
     # slower than multi-copy on v5e (4th-order advection 4096²: 48.5 vs

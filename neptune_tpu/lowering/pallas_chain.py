@@ -22,9 +22,10 @@ Mechanics (shared with the K-sweep window, validated on v5e):
     window of EVERY field argument into double-buffered VMEM scratch
     (hp = composed dim-0 reach of the whole DAG, padded to the 8-row
     sublane tile), overlapping the next fetch with this window's chain;
-  * window starts clamp at the domain edges; the clamp shift is repaired
-    by one dynamic `pltpu.roll` per field (32-bit only), after which
-    window row r holds global row `i*slab - hp + r`;
+  * the ring head-copy fetch (`pallas_backend._ring_window_io`) keeps
+    window row r = global row `i*slab - hp + r` on every step with no
+    clamp or realignment (round 3 repaired a clamped window with one
+    dynamic whole-window `pltpu.roll` per field per step);
   * each stage evaluates its apply's scalar DAG over the full window via
     vector rolls and applies its own copy-through bounds mask
     (global-coordinate iotas, seed = the stage's first input) — exactly
@@ -186,6 +187,10 @@ def chain_plan(
     if shape is None:
         shape = tuple(outer.shape)
     if len(shape) != rank:
+        return None
+    if shape[-1] % 128:
+        # manual HBM window slices need a 128-tile-aligned lane extent on
+        # hardware (Mosaic memref_slice restriction); per-stage fallback
         return None
 
     # leading field args (result-bounds-shaped f32) + trailing scalars
@@ -351,51 +356,26 @@ def execute_chain(
         scalar_refs = refs[n_f + n_start : n_f + n_start + n_scalars]
         out_ref = refs[n_f + n_start + n_scalars]
         scratches = refs[n_f + n_start + n_scalars + 1 : -1]
-        sems = refs[-1]  # DMA semaphores, shape (n_f, 2)
+        sems = refs[-1]  # DMA semaphores, shape (n_f, 2, 3)
 
         i = pl.program_id(0)
 
-        def window_start(step):
-            ideal = step * slab - hp
-            w = jnp.clip(
-                ideal, jnp.int32(0), jnp.int32(shape[0] - win)
-            ).astype(jnp.int32)
-            # slab, hp and shape[0]-win are all 8-aligned (planner), so the
-            # clamped start is too; carry the proof Mosaic needs
-            return pl.multiple_of(w, 8)
+        # Ring head-copy fetch (shared with the single-sweep DMA kernels):
+        # window row r holds global row i*slab - hp + r on EVERY step with
+        # no clamp and no realignment — the round-3 chain paid one dynamic
+        # whole-window pltpu.roll per field per step to repair the edge
+        # clamp (rotate-by-0 included), plus a 2*hp/slab HBM halo re-read.
+        # Stale rows at the array edges are out-of-domain garbage that
+        # every stage's copy-through mask discards (same contract).
+        pallas_backend._ring_window_io(
+            i, hbm_refs, scratches, sems,
+            n_in=n_f, slab=slab, h0p=hp, win=win, n_slabs=n_slabs,
+            N=shape[0], al=8, periodic=False,
+        )
 
-        def start_fetch(step, slot):
-            for k in range(n_f):
-                pltpu.make_async_copy(
-                    hbm_refs[k].at[pl.ds(window_start(step), win)],
-                    scratches[k].at[slot],
-                    sems.at[k, slot],
-                ).start()
-
-        @pl.when(i == 0)
-        def _():
-            start_fetch(jnp.int32(0), 0)
-
-        @pl.when(i + 1 < n_slabs)
-        def _():
-            start_fetch(i + 1, (i + 1) % 2)
-
-        for k in range(n_f):
-            pltpu.make_async_copy(
-                hbm_refs[k].at[pl.ds(jnp.int32(0), win)],
-                scratches[k].at[i % 2],
-                sems.at[k, i % 2],
-            ).wait()
-
-        # repair the edge clamp: after the roll, window row r holds global
-        # row i*slab - hp + r (wrapped rows are out-of-domain garbage that
-        # every stage's copy-through mask discards)
-        w = window_start(i)
-        delta = (i * slab - jnp.int32(hp)) - w
-        shift = ((-delta) % win).astype(jnp.int32)
         env = {}
         for k in range(n_f):
-            env[k] = pltpu.roll(scratches[k][i % 2], shift, axis=0)
+            env[k] = scratches[k][i % 2]
 
         def base_of(d):
             if global_start is None:
@@ -471,7 +451,7 @@ def execute_chain(
     )
     scratch_shapes = [
         pltpu.VMEM((2,) + wshape, dtype) for _ in range(n_f)
-    ] + [pltpu.SemaphoreType.DMA((n_f, 2))]
+    ] + [pltpu.SemaphoreType.DMA((n_f, 2, 3))]
 
     n_offsets = sum(
         len(set((st.op.attrs.get("shape") or StencilShape(())).offsets)) or 1

@@ -233,7 +233,10 @@ def _plan_geometry(shape, halos, k: int, itemsize: int) -> Optional[dict]:
     hp = ((k * h0 + 7) // 8) * 8
     if hp > _MAX_HP:
         return None
-    if shape[-1] < 128 or math.prod(shape) < 64 * 128:
+    # lane extent must be 128-tile-aligned: the window kernels slice the
+    # HBM memref manually and Mosaic rejects unaligned lane extents on
+    # hardware (the multi-copy/jnp fallbacks handle those shapes)
+    if shape[-1] % 128 or math.prod(shape) < 64 * 128:
         return None
     row_bytes = math.prod(shape[1:]) * itemsize
     slab = (

@@ -232,10 +232,12 @@ class TestDmaWindowKernel:
         ntp.reset_context()
         assert not pallas_backend._dma_profitable(self._adv4_op("bfloat16"))
 
-    def _heat3_op(self, m=32):
+    def _heat3_op(self, m=32, w=128):
+        # lane extent 128: the DMA planner requires tile-aligned lanes
+        # (hardware memref_slice restriction; unaligned falls to multi-copy)
         @ntp.linear_op_def(
-            bounds=([0, 0, 0], [m, m, m]),
-            interior=([1, 1, 1], [m - 1, m - 1, m - 1]),
+            bounds=([0, 0, 0], [m, m, w]),
+            interior=([1, 1, 1], [m - 1, m - 1, w - 1]),
             dtype="float32",
             name="heat3",
         )
@@ -261,7 +263,7 @@ class TestDmaWindowKernel:
         op = self._heat3_op()
         assert pallas_backend._dma_profitable(op)
         x = jnp.asarray(
-            np.random.default_rng(2).standard_normal((32, 32, 32)), jnp.float32
+            np.random.default_rng(2).standard_normal((32, 32, 128)), jnp.float32
         )
         got = np.asarray(pallas_backend._execute_dma(op, (x,), interpret=True))
         want = np.asarray(jnp_backend.execute_apply(op, (x,)))

@@ -170,10 +170,10 @@ class TestPeriodicWindowKernels:
 
         config.pallas_interpret = True
         ntp.reset_context()
-        m = 32
+        m = 32  # lane extent 128: DMA planner needs tile-aligned lanes
 
         @ntp.linear_op_def(
-            bounds=([0, 0, 0], [m, m, m]), dtype="float32", periodic=True,
+            bounds=([0, 0, 0], [m, m, 128]), dtype="float32", periodic=True,
             name="heat3p",
         )
         def heat3p(u):
@@ -188,7 +188,7 @@ class TestPeriodicWindowKernels:
         op = [o for o in fn.body.ops if o.name == "neptune.apply"][0]
         assert pallas_backend._dma_profitable(op)
 
-        x = np.random.default_rng(1).standard_normal((m, m, m)).astype(np.float32)
+        x = np.random.default_rng(1).standard_normal((m, m, 128)).astype(np.float32)
         import jax.numpy as jnp
 
         got = np.asarray(
