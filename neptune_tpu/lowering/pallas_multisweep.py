@@ -24,10 +24,11 @@ Mechanics (built on the rolling-window DMA machinery of
     `win = slab + 2*Hp` rows (Hp = K*h0 padded to the 8-row sublane
     alignment) into a double-buffered VMEM scratch, overlapping the next
     window's fetch with this window's K sweeps;
-  * window starts clamp at the domain edges; the clamp shift is repaired by
-    a dynamic `pltpu.roll` (32-bit only), after which window row r holds
-    global row `i*slab - Hp + r`; wrapped rows represent out-of-domain rows
-    and hold garbage — see the creep analysis below;
+  * the ring head-copy fetch (`pallas_backend._ring_window_io`) keeps
+    window row r = global row `i*slab - Hp + r` on every step with no
+    clamp or realignment roll; at the array edges the sticking-out rows
+    are true torus rows (periodic whole-grid domains: two wrapped edge
+    DMAs) or stale garbage (bounded domains) — see the creep analysis;
   * each of the K (Python-unrolled) sweeps evaluates the operator's scalar
     DAG over the FULL window via vector rolls, then applies the
     copy-through boundary mask (global-coordinate iota vs the apply bounds)
@@ -40,9 +41,10 @@ Mechanics (built on the rolling-window DMA machinery of
     construction guarantees. Dim 1 stays whole in VMEM, so there is no
     dim-1 creep (edge wrap lands in boundary-masked columns).
 
-Scope: rank-2 and rank-3, float32, single-input/single-output, non-periodic
-applies (periodic wrap needs a modular window; it falls back to K separate
-multi-copy-kernel sweeps, which do handle torus domains). Rank-3 windows
+Scope: rank-2 and rank-3, float32, single-input/single-output applies;
+periodic domains are eligible for the one-level window at FULL domain
+(interior-bounded periodic ops fall back — the copy-through mask evaluates
+global coordinates, which are wrong at wrapped rows). Rank-3 windows
 hold whole (N1, N2) planes per dim-0 row, so their working set is large:
 they run under a raised Mosaic scoped-vmem limit with small slabs, trading
 window-recompute overhead (win/slab ≤ 3) for the K-fold HBM saving.
@@ -87,9 +89,10 @@ def find_sweep_apply(
 
     Returns None (caller falls back to K separate sweeps) unless the opdef
     body is exactly one self-shaped apply: one temp input, one result,
-    float32, rank 2 or 3, with a nonzero dim-0 halo. Periodic operators are
-    only eligible for the VMEM-resident kernel (whose rolls ARE torus wrap),
-    so they are rejected unless allow_periodic.
+    float32, rank 2 or 3, with a nonzero dim-0 halo. allow_periodic lets
+    the resident kernel (rolls ARE torus wrap) and the one-level window
+    (ring fetch with wrapped edge DMAs; full-domain only, enforced by
+    sweeps_plan) take periodic operators.
     """
     fn = module.lookup(name)
     if not getattr(fn, "is_opdef", False):
@@ -268,18 +271,32 @@ def _plan_geometry(shape, halos, k: int, itemsize: int) -> Optional[dict]:
 
 
 def sweeps_plan(module: Module, name: str, k: int) -> Optional[dict]:
-    """Geometry for a K-sweep fused kernel, or None if ineligible."""
-    op = find_sweep_apply(module, name)
+    """Geometry for a K-sweep fused kernel, or None if ineligible.
+
+    Periodic operators are eligible for the ONE-LEVEL window since round 4
+    (the ring fetch's wrapped edge DMAs give the first/last windows true
+    torus rows, and the validity-creep recurrence is then identical to the
+    bounded case) — but only at FULL domain: an interior copy-through mask
+    evaluates global coordinates, and the wrapped rows' coordinates lie
+    outside [lb, ub), so the mask would freeze cells that torus semantics
+    requires to keep evolving. Interior-bounded periodic ops and the
+    two-level window (whose dim-1 panels still clamp) fall back.
+    """
+    op = find_sweep_apply(module, name, allow_periodic=True)
     if op is None or k < 2:
         return None
     out_type: TempType = op.results[0].type
+    if op.attrs.get("periodic") and op.attrs["bounds"] != out_type.bounds:
+        return None
     sshape: StencilShape = op.attrs["shape"]
     halos = [max(h) for h in sshape.halo()]
     g = _plan_geometry(
         out_type.bounds.shape, halos, k,
         jnp.dtype(out_type.element).itemsize,
     )
-    return None if g is None else {"op": op, **g}
+    if g is None or (op.attrs.get("periodic") and g.get("two_level")):
+        return None
+    return {"op": op, **g}
 
 
 # grids at or below this many bytes run the whole-array VMEM-resident
@@ -495,6 +512,9 @@ def _sweeps_window_impl(
     wshape = (win,) + shape[1:]
     dtype = jnp.dtype(out_type.element)
     n_slabs = shape[0] // slab
+    # sharded-local calls (traced global_start) keep the bounded-garbage
+    # edge contract: their band fixups recompute the edges either way
+    periodic = bool(op.attrs.get("periodic")) and global_start is None
     body = op.region(0)
     full_domain = bounds == outer
     n_scalars = len(scalars)
@@ -506,46 +526,25 @@ def _sweeps_window_impl(
         scalar_refs = refs[1 + n_start : 1 + n_start + n_scalars]
         out_ref = refs[1 + n_start + n_scalars]
         scratch = refs[2 + n_start + n_scalars]  # (2,) + wshape VMEM
-        sems = refs[3 + n_start + n_scalars]  # (2,) DMA semaphores
+        sems = refs[3 + n_start + n_scalars]  # (1, 2, 3) DMA semaphores
 
         i = pl.program_id(0)
 
-        def window_start(step):
-            ideal = step * slab - hp
-            w = jnp.clip(
-                ideal, jnp.int32(0), jnp.int32(shape[0] - win)
-            ).astype(jnp.int32)
-            # slab, hp and shape[0]-win are all 8-aligned, so the clamped
-            # start is too; carry the proof Mosaic needs for the HBM slice
-            return pl.multiple_of(w, 8)
+        # Ring head-copy fetch (shared with the single-sweep DMA kernels):
+        # window row r holds global row i*slab - hp + r on every step with
+        # no clamp and no realignment roll. Bounded domains leave the
+        # array-edge rows stale (out-of-domain garbage the validity creep
+        # absorbs, exactly as the round-3 clamp+roll scheme did); periodic
+        # whole-grid domains fetch true torus rows there instead, making
+        # the creep recurrence identical to the interior case.
+        from .pallas_backend import _ring_window_io
 
-        def start_fetch(step, slot):
-            pltpu.make_async_copy(
-                hbm_ref.at[pl.ds(window_start(step), win)],
-                scratch.at[slot],
-                sems.at[slot],
-            ).start()
-
-        @pl.when(i == 0)
-        def _():
-            start_fetch(jnp.int32(0), 0)
-
-        @pl.when(i + 1 < n_slabs)
-        def _():
-            start_fetch(i + 1, (i + 1) % 2)
-
-        pltpu.make_async_copy(
-            hbm_ref.at[pl.ds(jnp.int32(0), win)],
-            scratch.at[i % 2],
-            sems.at[i % 2],
-        ).wait()
-
-        # repair the edge clamp: after the roll, window row r holds global
-        # row i*slab - hp + r (wrapped rows are out-of-domain garbage)
-        w = window_start(i)
-        delta = (i * slab - jnp.int32(hp)) - w
+        _ring_window_io(
+            i, [hbm_ref], [scratch], sems,
+            n_in=1, slab=slab, h0p=hp, win=win, n_slabs=n_slabs,
+            N=shape[0], al=8, periodic=periodic,
+        )
         v = scratch[i % 2]
-        v = pltpu.roll(v, ((-delta) % win).astype(jnp.int32), axis=0)
 
         def base_of(d):
             if global_start is None:
@@ -604,7 +603,7 @@ def _sweeps_window_impl(
     )
     scratch_shapes = [
         pltpu.VMEM((2,) + wshape, dtype),
-        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((1, 2, 3)),
     ]
 
     n_offsets = len(set(op.attrs["shape"].offsets)) or 1

@@ -104,12 +104,13 @@ class TestFusedSweeps:
             n_scalars=1,
         )
 
-    def test_fallback_periodic_matches(self):
-        # periodic is ineligible: sweeps() must fall back to the loop and
-        # still match K-fold application
+    def test_periodic_fused_matches(self):
+        # round 4: full-domain periodic IS window-eligible (ring fetch with
+        # wrapped edge DMAs); the fused K sweeps must still match K-fold
+        # application exactly
         m = jacobi_module(64, 128, FIVE_POINT, periodic=True)
         cm = compile_ir(m, backend="auto")
-        assert pallas_multisweep.sweeps_plan(cm.module, "op", 4) is None
+        assert pallas_multisweep.sweeps_plan(cm.module, "op", 4) is not None
         rng = np.random.default_rng(7)
         x = rng.standard_normal((64, 128)).astype(np.float32)
         one = cm.opdef("op")
@@ -543,3 +544,70 @@ class TestPlannerAlignment:
         m2 = jacobi_module(128, 256, FIVE_POINT)
         op2 = pallas_multisweep.find_sweep_apply(m2, "op")
         assert pallas_backend.window_supported(op2, (128, 256))
+
+
+class TestPeriodicWindow:
+    """Round 4: periodic whole-grid operators take the ONE-LEVEL window
+    (ring fetch + wrapped edge DMAs); K fused torus sweeps must equal K
+    NumPy roll-oracle sweeps, wrap across both window AND array edges."""
+
+    def test_periodic_window_matches_oracle(self, monkeypatch):
+        import neptune_tpu as ntp
+        from neptune_tpu.config import config
+        from neptune_tpu.lowering import pallas_multisweep as MS
+
+        config.pallas_interpret = True
+        try:
+            ntp.reset_context()
+            n = 256  # large enough that the resident variant won't claim it
+
+            @ntp.linear_op_def(
+                bounds=([0, 0], [n, 128]), dtype="float32", periodic=True,
+                name="torus_sw",
+            )
+            def torus_sw(u):
+                return u[0, 0] + 0.1 * (
+                    u[-1, 0] + u[1, 0] + u[0, -1] + u[0, 1] - 4.0 * u[0, 0]
+                )
+
+            cm = ntp.get_context().compiled()
+            # force the window variant even if the grid would fit VMEM
+            monkeypatch.setattr(MS, "_RESIDENT_BYTES", 0)
+            k = 4
+            plan = MS.sweeps_plan(cm.module, "torus_sw", k)
+            assert plan is not None and not plan.get("two_level")
+
+            x = np.random.default_rng(0).standard_normal((n, 128)).astype(
+                np.float32
+            )
+            got = np.asarray(
+                MS.execute_sweeps(
+                    cm.module, "torus_sw", x, (), k, interpret=True
+                )
+            )
+            want = x.astype(np.float64)
+            for _ in range(k):
+                lap = (np.roll(want, 1, 0) + np.roll(want, -1, 0)
+                       + np.roll(want, 1, 1) + np.roll(want, -1, 1)
+                       - 4.0 * want)
+                want = want + 0.1 * lap
+            np.testing.assert_allclose(got, want, atol=1e-4)
+        finally:
+            config.pallas_interpret = False
+
+    def test_periodic_interior_bounds_rejected(self):
+        import neptune_tpu as ntp
+        from neptune_tpu.lowering import pallas_multisweep as MS
+
+        ntp.reset_context()
+        n = 256
+
+        @ntp.linear_op_def(
+            bounds=([0, 0], [n, 128]), interior=([1, 1], [n - 1, 127]),
+            dtype="float32", periodic=True, name="torus_masked",
+        )
+        def torus_masked(u):
+            return 0.25 * (u[-1, 0] + u[1, 0] + u[0, -1] + u[0, 1])
+
+        cm = ntp.get_context().compiled()
+        assert MS.sweeps_plan(cm.module, "torus_masked", 4) is None
