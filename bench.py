@@ -1242,45 +1242,52 @@ def core_table():
         "converged": converged,
     })
 
-    # matrix-free SSOR preconditioning: the iteration-count win vs Jacobi
-    # on the same 512^2 Poisson (VERDICT r3 next-round #3). SSOR pays 2
-    # extra matvecs per iteration, so the row reports iters AND iters/s;
-    # vs_baseline = Jacobi iters / SSOR iters (the preconditioner quality
-    # ratio, > 1 means SSOR converges in fewer iterations).
-    from neptune_tpu.solvers import cg as _cg_core
-    from neptune_tpu.solvers.precond import jacobi as _jac_pc
-    from neptune_tpu.solvers.precond import ssor_stencil as _ssor_pc
+    try:
+        # matrix-free SSOR preconditioning: the iteration-count win vs Jacobi
+        # on the same 512^2 Poisson (VERDICT r3 next-round #3). SSOR pays 2
+        # extra matvecs per iteration, so the row reports iters AND iters/s;
+        # vs_baseline = Jacobi iters / SSOR iters (the preconditioner quality
+        # ratio, > 1 means SSOR converges in fewer iterations).
+        from neptune_tpu.solvers import cg as _cg_core
+        from neptune_tpu.solvers.precond import jacobi as _jac_pc
+        from neptune_tpu.solvers.precond import ssor_stencil as _ssor_pc
 
-    like = jnp.zeros((n, n), jnp.float32)
-    ssor_stats = {}
-    for pc_name, M in (
-        ("jacobi", _jac_pc(H.matvec, like, H.halo)),
-        ("ssor", _ssor_pc(H.matvec, like, H.halo)),
-    ):
-        solve_pc = _jax.jit(
-            lambda b, M=M: _cg_core(H.matvec, b, tol=tol, maxiter=maxit, M=M)
-        )
-        xs, info_pc = solve_pc(bb)
-        _ = float(jnp.sum(xs))
-        t0 = time.perf_counter()
-        xs, info_pc = solve_pc(bb)
-        _ = float(jnp.sum(xs))
-        ssor_stats[pc_name] = (
-            int(info_pc.iters), time.perf_counter() - t0,
-            bool(info_pc.converged),
-        )
-    si, st, sc = ssor_stats["ssor"]
-    ji, jt, jc = ssor_stats["jacobi"]
-    lines.append({
-        "metric": "CG+SSOR(matrix-free rb) iters (512^2 Poisson f32, tol 1e-4)",
-        "value": si,
-        "unit": "iters",
-        "vs_baseline": round(ji / max(si, 1), 3),
-        "baseline": f"CG+Jacobi on the same system ({ji} iters)",
-        "iters_per_sec": round(si / st, 0),
-        "jacobi_iters_per_sec": round(ji / jt, 0),
-        "converged": sc,
-    })
+        like = jnp.zeros((n, n), jnp.float32)
+        ssor_stats = {}
+        for pc_name, M in (
+            ("jacobi", _jac_pc(H.matvec, like, H.halo)),
+            ("ssor", _ssor_pc(H.matvec, like, H.halo)),
+        ):
+            solve_pc = _jax.jit(
+                lambda b, M=M: _cg_core(H.matvec, b, tol=tol, maxiter=maxit, M=M)
+            )
+            xs, info_pc = solve_pc(bb)
+            _ = float(jnp.sum(xs))
+            t0 = time.perf_counter()
+            xs, info_pc = solve_pc(bb)
+            _ = float(jnp.sum(xs))
+            ssor_stats[pc_name] = (
+                int(info_pc.iters), time.perf_counter() - t0,
+                bool(info_pc.converged),
+            )
+        si, st, sc = ssor_stats["ssor"]
+        ji, jt, jc = ssor_stats["jacobi"]
+        lines.append({
+            "metric": "CG+SSOR(matrix-free rb) iters (512^2 Poisson f32, tol 1e-4)",
+            "value": si,
+            "unit": "iters",
+            "vs_baseline": round(ji / max(si, 1), 3),
+            "baseline": f"CG+Jacobi on the same system ({ji} iters)",
+            "iters_per_sec": round(si / st, 0),
+            "jacobi_iters_per_sec": round(ji / jt, 0),
+            "converged": sc,
+        })
+    except Exception as e:  # never sink the whole artifact on one row
+        lines.append({
+            "metric": "CG+SSOR(matrix-free rb) iters (512^2 Poisson f32, tol 1e-4)",
+            "value": -1, "unit": "iters", "vs_baseline": 0.0,
+            "error": repr(e)[:300],
+        })
 
     # sharded execution path (fused strip exchange, 1-dev mesh on the real
     # chip; multi-device validated by __graft_entry__.dryrun_multichip)
@@ -1327,95 +1334,102 @@ def core_table():
         "frac_of_probe_bw": meta["frac_of_probe_bw"],
     })
 
-    # s-step CA solvers. The CA trade is K-fold fewer exchange ROUNDS per
-    # iteration at some per-iteration cost, so each row is paired with its
-    # per-iteration-exchange counterpart ON THE SAME MESH: vs_baseline is
-    # the measured iters/s ratio against that counterpart (not an absolute
-    # iters/s bar — VERDICT r2/r3 flagged the old /1e5 ratio as
-    # meaningless), and the ppermute/psum counts from the jaxprs state the
-    # communication win the CA form buys per s iterations.
-    from neptune_tpu.parallel import cg_sharded, gmres_sharded
-    from neptune_tpu.solvers import cg as cg_core, gmres as gmres_core
+    try:
+        # s-step CA solvers. The CA trade is K-fold fewer exchange ROUNDS per
+        # iteration at some per-iteration cost, so each row is paired with its
+        # per-iteration-exchange counterpart ON THE SAME MESH: vs_baseline is
+        # the measured iters/s ratio against that counterpart (not an absolute
+        # iters/s bar — VERDICT r2/r3 flagged the old /1e5 ratio as
+        # meaningless), and the ppermute/psum counts from the jaxprs state the
+        # communication win the CA form buys per s iterations.
+        from neptune_tpu.parallel import cg_sharded, gmres_sharded
+        from neptune_tpu.solvers import cg as cg_core, gmres as gmres_core
 
-    def comm_counts(fn, arg):
-        s = str(jax.make_jaxpr(fn)(arg))
-        return s.count("ppermute"), s.count("psum")
+        def comm_counts(fn, arg):
+            s = str(jax.make_jaxpr(fn)(arg))
+            return s.count("ppermute"), s.count("psum")
 
-    nc, s_steps = 256, 8
-    cmc, bb, lmin, _lmax = _ca_poisson_256()
-    bbs = gm.shard(jnp.asarray(bb))
-    mv_sh = shardmap_opdef(cmc, "lap_cacg", gm)
-    pp_mv, _ = comm_counts(mv_sh, bbs)
+        nc, s_steps = 256, 8
+        cmc, bb, lmin, _lmax = _ca_poisson_256()
+        bbs = gm.shard(jnp.asarray(bb))
+        mv_sh = shardmap_opdef(cmc, "lap_cacg", gm)
+        pp_mv, _ = comm_counts(mv_sh, bbs)
 
-    solve = jax.jit(
-        cg_sharded(
-            cmc, "lap_cacg", gm, s=s_steps, maxiter=2000, tol=1e-4,
-            basis="chebyshev", lam_min=lmin, lam_max=8.0,
+        solve = jax.jit(
+            cg_sharded(
+                cmc, "lap_cacg", gm, s=s_steps, maxiter=2000, tol=1e-4,
+                basis="chebyshev", lam_min=lmin, lam_max=8.0,
+            )
         )
-    )
-    info, dt = _timed_ca_solve(solve, bbs)
-    ca_ips = int(info.iters) / dt
-    pp_ca, ps_ca = comm_counts(solve, bbs)
+        info, dt = _timed_ca_solve(solve, bbs)
+        ca_ips = int(info.iters) / dt
+        pp_ca, ps_ca = comm_counts(solve, bbs)
 
-    solve_ref = jax.jit(
-        lambda b: cg_core(mv_sh, b, tol=1e-4, maxiter=3500)
-    )
-    info_r, dt_r = _timed_ca_solve(solve_ref, bbs)
-    ref_ips = int(info_r.iters) / dt_r
-    lines.append({
-        "metric": f"CA-CG iters/sec (256^2 Poisson f32, s={s_steps}, tol 1e-4)",
-        "value": round(ca_ips, 0),
-        "unit": "iters/s",
-        "vs_baseline": round(ca_ips / ref_ips, 3),
-        "baseline": "per-iteration-exchange sharded CG, same mesh "
-                    f"({round(ref_ips, 0)} iters/s)",
-        "iters": int(info.iters),
-        "converged": bool(info.converged),
-        "comm_per_s_iters": {
-            "ca": {"ppermute": pp_ca, "psum": ps_ca},
-            "per_iteration_form": {
-                "ppermute": pp_mv * s_steps,
-                "dot_reductions": 2 * s_steps,
-            },
-        },
-    })
-
-    # sharded CA-GMRES — the reference's DEFAULT KSP (NeptunePETScRuntime
-    # .cpp:146-149) in communication-avoiding form (BASELINE row 5's GMRES
-    # half, driver-captured). Counterpart: restarted GMRES(s) over the same
-    # sharded matvec (s exchanges + O(s^2/2) dot reductions per cycle).
-    solve = jax.jit(
-        gmres_sharded(
-            cmc, "lap_cacg", gm, s=8, maxiter=2000, tol=1e-4,
-            basis="chebyshev", lam_min=lmin, lam_max=8.0,
+        solve_ref = jax.jit(
+            lambda b: cg_core(mv_sh, b, tol=1e-4, maxiter=3500)
         )
-    )
-    info, dt = _timed_ca_solve(solve, bbs)
-    ca_ips = int(info.iters) / dt
-    pp_ca, ps_ca = comm_counts(solve, bbs)
-
-    solve_ref = jax.jit(
-        lambda b: gmres_core(mv_sh, b, tol=1e-4, maxiter=3500, restart=8)
-    )
-    info_r, dt_r = _timed_ca_solve(solve_ref, bbs)
-    ref_ips = int(info_r.iters) / dt_r
-    lines.append({
-        "metric": "CA-GMRES(8) iters/sec (256^2 Poisson f32, tol 1e-4)",
-        "value": round(ca_ips, 0),
-        "unit": "iters/s",
-        "vs_baseline": round(ca_ips / ref_ips, 3),
-        "baseline": "per-iteration-exchange sharded GMRES(8), same mesh "
-                    f"({round(ref_ips, 0)} iters/s)",
-        "iters": int(info.iters),
-        "converged": bool(info.converged),
-        "comm_per_cycle": {
-            "ca": {"ppermute": pp_ca, "psum": ps_ca},
-            "per_iteration_form": {
-                "ppermute": pp_mv * 8,
-                "dot_reductions": "O(s^2/2) ~= 36",
+        info_r, dt_r = _timed_ca_solve(solve_ref, bbs)
+        ref_ips = int(info_r.iters) / dt_r
+        lines.append({
+            "metric": f"CA-CG iters/sec (256^2 Poisson f32, s={s_steps}, tol 1e-4)",
+            "value": round(ca_ips, 0),
+            "unit": "iters/s",
+            "vs_baseline": round(ca_ips / ref_ips, 3),
+            "baseline": "per-iteration-exchange sharded CG, same mesh "
+                        f"({round(ref_ips, 0)} iters/s)",
+            "iters": int(info.iters),
+            "converged": bool(info.converged),
+            "comm_per_s_iters": {
+                "ca": {"ppermute": pp_ca, "psum": ps_ca},
+                "per_iteration_form": {
+                    "ppermute": pp_mv * s_steps,
+                    "dot_reductions": 2 * s_steps,
+                },
             },
-        },
-    })
+        })
+
+        # sharded CA-GMRES — the reference's DEFAULT KSP (NeptunePETScRuntime
+        # .cpp:146-149) in communication-avoiding form (BASELINE row 5's GMRES
+        # half, driver-captured). Counterpart: restarted GMRES(s) over the same
+        # sharded matvec (s exchanges + O(s^2/2) dot reductions per cycle).
+        solve = jax.jit(
+            gmres_sharded(
+                cmc, "lap_cacg", gm, s=8, maxiter=2000, tol=1e-4,
+                basis="chebyshev", lam_min=lmin, lam_max=8.0,
+            )
+        )
+        info, dt = _timed_ca_solve(solve, bbs)
+        ca_ips = int(info.iters) / dt
+        pp_ca, ps_ca = comm_counts(solve, bbs)
+
+        solve_ref = jax.jit(
+            lambda b: gmres_core(mv_sh, b, tol=1e-4, maxiter=3500, restart=8)
+        )
+        info_r, dt_r = _timed_ca_solve(solve_ref, bbs)
+        ref_ips = int(info_r.iters) / dt_r
+        lines.append({
+            "metric": "CA-GMRES(8) iters/sec (256^2 Poisson f32, tol 1e-4)",
+            "value": round(ca_ips, 0),
+            "unit": "iters/s",
+            "vs_baseline": round(ca_ips / ref_ips, 3),
+            "baseline": "per-iteration-exchange sharded GMRES(8), same mesh "
+                        f"({round(ref_ips, 0)} iters/s)",
+            "iters": int(info.iters),
+            "converged": bool(info.converged),
+            "comm_per_cycle": {
+                "ca": {"ppermute": pp_ca, "psum": ps_ca},
+                "per_iteration_form": {
+                    "ppermute": pp_mv * 8,
+                    "dot_reductions": "O(s^2/2) ~= 36",
+                },
+            },
+        })
+    except Exception as e:
+        lines.append({
+            "metric": "CA-CG / CA-GMRES rows", "value": -1,
+            "unit": "error", "vs_baseline": 0.0,
+            "error": repr(e)[:300],
+        })
 
     # f64 accuracy vs the native C++ oracle (BASELINE "match reference CPU
     # outputs to 1e-10"; x64 subprocesses keep x64 out of this process).
