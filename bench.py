@@ -149,8 +149,14 @@ def sweep_with_retries(step_fn, x, cells, K1, K2, bar_cells=None):
             best_dt = dt
         if bar_cells is None or cells / best_dt >= bar_cells:
             break
-        if t + 1 < tries:
+        # total retry wall-clock is budgeted ACROSS rows so a fully
+        # contended hour cannot stall the whole capture (default 10 min)
+        budget = float(os.environ.get("NEPTUNE_BENCH_RETRY_BUDGET_S", "600"))
+        if t + 1 < tries and sweep_with_retries.spent < budget:
             time.sleep(wait_s)
+            sweep_with_retries.spent += wait_s
+        elif sweep_with_retries.spent >= budget:
+            break
     # The tenant share is whole-chip time-slicing (measured: a contended
     # hour slows a pure-bandwidth probe and every kernel by the SAME
     # factor), so gcell*8B / probe-bandwidth estimates the kernel's
@@ -166,6 +172,9 @@ def sweep_with_retries(step_fn, x, cells, K1, K2, bar_cells=None):
     if len(trail) > 1:
         meta["retry_trail"] = trail
     return best_dt, meta
+
+
+sweep_with_retries.spent = 0.0
 
 
 def make_jacobi_2d(n, dtype="float32"):
