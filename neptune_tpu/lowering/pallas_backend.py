@@ -612,8 +612,9 @@ def _execute_dma_rank3(op: Operation, operand_arrays, *, interpret: bool):
     if kshape[0] % slab != 0:
         raise NotImplementedError("dma kernel requires dim0 divisible by slab")
     if h0p > slab:
-        # interior windows would clamp; the edge-rotation correction only
-        # handles the first/last slab
+        # the ring head-copy sources each window's head from the previous
+        # window's tail, which requires the previous window to reach back
+        # at least 2*h0p rows: slab >= h0p
         raise NotImplementedError("dim-0 halo exceeds the slab height")
     n_slabs = kshape[0] // slab
     win = slab + 2 * h0p
