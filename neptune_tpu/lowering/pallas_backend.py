@@ -8,9 +8,9 @@ same input array three times (previous/current/next slab blocks) under
 shifted-and-clamped block index maps — the Pallas equivalent of ghost cells
 (any dim-0 halo up to one slab). Within a slab the full extent of the
 trailing dims lives in VMEM, so trailing-dim neighbor reads are static
-slice+concat shifts (`wrap_shift`; measured faster than `pltpu.roll`, which
-is reserved for dynamic/traced shifts such as the rank-2 DMA edge realign),
-and dim-0 neighbor reads are static slices of the
+slice+concat shifts (`wrap_shift`; measured faster than `pltpu.roll` —
+since the round-4 ring-fetch rewrite no kernel in this module needs a
+dynamic rotate at all), and dim-0 neighbor reads are static slices of the
 halo-extended slab. The copy-through boundary contract is enforced in-kernel
 with an index mask (computed from `program_id` + iota — no extra memory
 traffic), exactly mirroring the jnp backend's mask-select semantics.
