@@ -379,12 +379,15 @@ def assemble_matrix(op):
     # annotations live on the verified clone inside the compiled snapshot
     vfn = cm.module.lookup(sym)
     tt: TempType = fn.ftype.inputs[0]
+    from ..lowering.executor import single_apply_interior
+
     return MatrixHandle(
         symbol=sym,
         matvec=cm.opdef(sym),
         temp_type=tt,
         structure_key_hash=vfn.attrs.get("structure_key_hash", 0),
         halo=vfn.attrs.get("halo", ()),
+        interior=single_apply_interior(vfn),
     )
 
 
@@ -536,10 +539,16 @@ def solve_linear(
             )
         x, info = krylov.direct(matrix.dense(), b_arr)
     else:
+        # Dirichlet lift (see MatrixHandle.ring_lift): keeps preconditioned
+        # CG in the symmetric interior subspace when b carries boundary data
+        lift = matrix.ring_lift(b_arr)
+        b_eff = b_arr if lift is None else b_arr - matrix.matvec(lift)
         x, info = krylov.solve(
-            matrix.matvec, b_arr, solver=solver, tol=tol, maxiter=max_iters,
+            matrix.matvec, b_eff, solver=solver, tol=tol, maxiter=max_iters,
             M=M, **linear_option_kwargs(solver, opts),
         )
+        if lift is not None:
+            x = x + lift
     if verbose or profiling.verbose_default():
         profiling.report_solve(f"KSP({solver})", matrix.symbol, info)
     return x

@@ -397,6 +397,7 @@ class CompiledModule:
             temp_type=fn.ftype.inputs[0],
             structure_key_hash=fn.attrs.get("structure_key_hash", 0),
             halo=fn.attrs.get("halo", ()),
+            interior=single_apply_interior(fn),
         )
 
     def _assemble(self, op: Operation) -> MatrixHandle:
@@ -521,10 +522,17 @@ class CompiledModule:
             from ..utils.options import linear_option_kwargs
 
             kw = linear_option_kwargs(solver, opts)
+            # Dirichlet lift: nonzero boundary (copy-through ring) data in
+            # b breaks CG's M-symmetry under non-uniform preconditioners —
+            # see MatrixHandle.ring_lift. One matvec, exact.
+            lift = handle.ring_lift(b)
+            b_eff = b if lift is None else b - handle.matvec(lift)
             x, info = krylov.solve(
-                handle.matvec, b, solver=solver, tol=tol, maxiter=max_iters,
-                M=M, **kw,
+                handle.matvec, b_eff, solver=solver, tol=tol,
+                maxiter=max_iters, M=M, **kw,
             )
+            if lift is not None:
+                x = x + lift
         if op.attrs.get("verbose") or profiling.verbose_default():
             profiling.report_solve(f"KSP({solver})", handle.symbol, info)
         return x
@@ -714,6 +722,25 @@ class CompiledModule:
             lambda s: s + dt * rhs(s),  # 2: forward Euler
         ]
         return jax.lax.switch(jnp.clip(method, 0, 2), branches, state)
+
+
+def single_apply_interior(fn: Function):
+    """The apply bounds of a unary single-apply opdef whose copy-through
+    seed is the opdef argument — the structure MatrixHandle.ring_lift
+    needs ((A z)_ring = z_ring exactly). None for anything else."""
+    ap = None
+    for op in fn.body.ops:
+        if op.name == "neptune.apply":
+            if ap is not None:
+                return None
+            ap = op
+        elif op.name not in ("neptune.return", "arith.constant"):
+            return None
+    if ap is None or not fn.body.args:
+        return None
+    if not ap.operands or ap.operands[0].uid != fn.body.args[0].uid:
+        return None
+    return ap.attrs.get("bounds")
 
 
 class _CoarseOp:

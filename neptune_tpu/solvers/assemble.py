@@ -31,6 +31,10 @@ class MatrixHandle:
     temp_type: TempType  # operand/result temp type (grid shape, dtype)
     structure_key_hash: int = 0
     halo: tuple = ()  # per-dim (lo, hi) reach, for diagonal probing
+    # interior apply bounds of a SINGLE-apply opdef whose out-of-interior
+    # rows are exact copy-through ((A z)_ring = z_ring): enables the
+    # Dirichlet-lift solve below. None for composite/unknown structure.
+    interior: Optional[object] = None
     _dense_cache: Optional[jnp.ndarray] = field(default=None, repr=False)
 
     @property
@@ -60,6 +64,37 @@ class MatrixHandle:
             )
             self._dense_cache = cols.T
         return self._dense_cache
+
+    def ring_lift(self, b):
+        """Dirichlet lift for the copy-through ring, or None when the
+        structure is unknown / the operator is full-domain.
+
+        The copy-through contract makes the system nonsymmetric at the
+        boundary ring (interior rows read ring values, ring rows are
+        identity). Unpreconditioned CG tolerates it, but a non-uniform
+        preconditioner (Jacobi/SSOR: ring diag 1 vs interior diag) breaks
+        the M-symmetry CG needs and stalls ~5 digits short at tight
+        tolerances when b carries nonzero ring data (measured: 32² Poisson
+        f64 tol 1e-10, CG+Jacobi plateaued at 1e-8 after 4000 iterations;
+        108 iterations with the lift). The fix is exact and costs ONE
+        matvec: with lift = b masked to the ring,
+
+            solve A x_int = b - A·lift   (rhs ring = 0 -> the iterates
+                                          never leave the symmetric
+                                          interior subspace)
+            x = x_int + lift.
+        """
+        if self.interior is None:
+            return None
+        outer = self.temp_type.bounds
+        if self.interior == outer:
+            return None
+        import numpy as _np
+
+        ring = _np.ones(self.grid_shape, bool)
+        sl = self.interior.rel_slices(outer)
+        ring[sl] = False
+        return jnp.where(jnp.asarray(ring), b, jnp.zeros_like(b))
 
     def diagonal(self) -> jnp.ndarray:
         """Exact diagonal via stencil-period probing (see solvers.precond)."""

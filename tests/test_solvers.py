@@ -371,3 +371,63 @@ class TestMatrixHandle:
         np.testing.assert_allclose(
             A @ x.ravel(), np.asarray(matvec(jnp.asarray(x))).ravel(), atol=1e-13
         )
+
+
+class TestDirichletLift:
+    """Round-4 fix: preconditioned CG with nonzero boundary (copy-through
+    ring) data in b stalled ~5 digits short of tight tolerances — the ring
+    makes A nonsymmetric and a non-uniform M breaks CG's M-symmetry. The
+    solve paths now lift the ring data out (MatrixHandle.ring_lift: one
+    extra matvec, exact), keeping the iterates in the symmetric interior
+    subspace."""
+
+    def _handle(self, n=32):
+        import neptune_tpu as ntp
+
+        ntp.reset_context()
+
+        @ntp.linear_op_def(
+            bounds=([0, 0], [n, n]), interior=([1, 1], [n - 1, n - 1]),
+            dtype="float64", name="plift",
+        )
+        def plift(u):
+            return 4.0 * u[0, 0] - u[-1, 0] - u[1, 0] - u[0, -1] - u[0, 1]
+
+        return ntp.assemble_matrix(plift)
+
+    @pytest.mark.parametrize("pc", ["jacobi", "ssor"])
+    def test_preconditioned_cg_with_boundary_data(self, pc):
+        import neptune_tpu as ntp
+
+        H = self._handle()
+        rng = np.random.default_rng(0)
+        b = rng.standard_normal((32, 32))  # nonzero ring values
+        x = ntp.solve_linear(
+            H, b, solver="cg", tol=1e-10, max_iters=2000, precond=pc
+        )
+        x_ref = np.linalg.solve(np.asarray(H.dense()), b.ravel()).reshape(32, 32)
+        np.testing.assert_allclose(np.asarray(x), x_ref, atol=1e-8)
+
+    def test_ring_lift_shape(self):
+        H = self._handle()
+        b = jnp.asarray(np.arange(32 * 32, dtype=np.float64).reshape(32, 32))
+        lift = H.ring_lift(b)
+        assert lift is not None
+        l = np.asarray(lift)
+        assert np.array_equal(l[0, :], np.asarray(b)[0, :])  # ring kept
+        assert np.all(l[1:-1, 1:-1] == 0)  # interior zeroed
+
+    def test_full_domain_has_no_lift(self):
+        import neptune_tpu as ntp
+
+        ntp.reset_context()
+
+        @ntp.linear_op_def(
+            bounds=([0, 0], [16, 16]), dtype="float64", periodic=True,
+            name="full",
+        )
+        def full(u):
+            return 2.0 * u[0, 0] - 0.2 * (u[-1, 0] + u[1, 0])
+
+        H = ntp.assemble_matrix(full)
+        assert H.ring_lift(jnp.ones((16, 16))) is None
