@@ -539,9 +539,10 @@ def solve_linear(
             )
         x, info = krylov.direct(matrix.dense(), b_arr)
     else:
-        # Dirichlet lift (see MatrixHandle.ring_lift): keeps preconditioned
-        # CG in the symmetric interior subspace when b carries boundary data
-        lift = matrix.ring_lift(b_arr)
+        # Dirichlet lift, CG only (see MatrixHandle.ring_lift and the
+        # executor's note): keeps preconditioned CG in the symmetric
+        # interior subspace when b carries boundary data
+        lift = matrix.ring_lift(b_arr) if solver == "cg" else None
         b_eff = b_arr if lift is None else b_arr - matrix.matvec(lift)
         x, info = krylov.solve(
             matrix.matvec, b_eff, solver=solver, tol=tol, maxiter=max_iters,

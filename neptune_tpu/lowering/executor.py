@@ -522,10 +522,14 @@ class CompiledModule:
             from ..utils.options import linear_option_kwargs
 
             kw = linear_option_kwargs(solver, opts)
-            # Dirichlet lift: nonzero boundary (copy-through ring) data in
-            # b breaks CG's M-symmetry under non-uniform preconditioners —
-            # see MatrixHandle.ring_lift. One matvec, exact.
-            lift = handle.ring_lift(b)
+            # Dirichlet lift (CG ONLY): nonzero boundary (copy-through
+            # ring) data in b breaks CG's M-symmetry under non-uniform
+            # preconditioners — see MatrixHandle.ring_lift. One matvec,
+            # exact. GMRES/BiCGStab handle the nonsymmetric ring natively,
+            # and the lift would shift their relative-tolerance target
+            # (tol*||b - A*lift|| vs tol*||b||) away from the reference
+            # runtime's, perturbing f64 golden-path agreement at ~tol.
+            lift = handle.ring_lift(b) if solver == "cg" else None
             b_eff = b if lift is None else b - handle.matvec(lift)
             x, info = krylov.solve(
                 handle.matvec, b_eff, solver=solver, tol=tol,
