@@ -127,13 +127,14 @@ def _dma_profitable(op: Operation) -> bool:
     # padding internally.
     if op.results[0].type.bounds.shape[-1] % 128:
         return False
-    # bf16 is *supported* by the DMA kernel (static slice+concat edge
-    # correction — Mosaic's dynamic rotate is 32-bit-only) but measured
-    # slower than multi-copy on v5e (4th-order advection 4096²: 48.5 vs
-    # 73.8 Gcell/s): 2-byte reads halve the multi-copy amplification
-    # penalty while the branched correction costs vector ops. Routed to
-    # multi-copy for speed; docs/PERFORMANCE.md records the numbers.
-    if jnp.dtype(op.results[0].type.element).itemsize != 4:
+    # bf16: the round-3 scheme's branched edge correction made the DMA
+    # kernel LOSE to multi-copy at 2-byte elements (48.5 vs 73.8 Gcell/s,
+    # advection 4096²); the round-4 ring fetch has no edge correction at
+    # all and the trade FLIPPED (measured contention-normalized on v5e:
+    # DMA ring 0.483 vs multi-copy 0.445 of achievable bandwidth,
+    # bit-exact vs the jnp lowering) — bf16 now routes to the DMA kernel
+    # under the same geometry rules as f32.
+    if jnp.dtype(op.results[0].type.element).itemsize not in (2, 4):
         return False
     if op.results[0].type.bounds.rank == 3:
         return True

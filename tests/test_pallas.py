@@ -225,12 +225,15 @@ class TestDmaWindowKernel:
         # adds differently (on real TPU the paths match exactly)
         np.testing.assert_allclose(got, want, atol=1e-6, rtol=0)
 
-    def test_bf16_not_dma_routed(self):
+    def test_bf16_dma_routed(self):
+        # round 4: the ring fetch removed the branched edge correction
+        # that penalized bf16; the DMA kernel now wins at 2-byte elements
+        # too (measured, docs/PERFORMANCE.md) and bf16 routes to it
         from neptune_tpu.lowering import pallas_backend
 
         assert pallas_backend._dma_profitable(self._adv4_op("float32"))
         ntp.reset_context()
-        assert not pallas_backend._dma_profitable(self._adv4_op("bfloat16"))
+        assert pallas_backend._dma_profitable(self._adv4_op("bfloat16"))
 
     def _heat3_op(self, m=32, w=128):
         # lane extent 128: the DMA planner requires tile-aligned lanes
