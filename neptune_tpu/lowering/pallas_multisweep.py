@@ -432,7 +432,7 @@ def best_depth(module: Module, name: str, k: int) -> Optional[int]:
         cap = min(k, _RESIDENT_MAX_K)
         for d in [x for x in range(cap, 1, -1) if k % x == 0] + [cap]:
             return d
-    op = find_sweep_apply(module, name)
+    op = find_sweep_apply(module, name, allow_periodic=True)
     if op is None or k < 2:
         return None
     rank = op.results[0].type.bounds.rank

@@ -255,6 +255,29 @@ class TestResidentAndWindowPaths:
             config.pallas_interpret = False
         np.testing.assert_allclose(y, y_ref, atol=1e-5)
 
+    def test_periodic_window_path_routed(self):
+        # regression: best_depth used to call find_sweep_apply without
+        # allow_periodic, so window-sized periodic operators (too big for
+        # the resident kernel) never reached the K-sweep window and fell
+        # back to per-sweep execution despite sweeps_plan admitting them
+        m = jacobi_module(1152, 1024, FIVE_POINT, periodic=True)
+        cm = compile_ir(m, backend="auto")
+        assert pallas_multisweep.resident_plan(cm.module, "op", 4) is None
+        assert pallas_multisweep.sweeps_plan(cm.module, "op", 4) is not None
+        assert pallas_multisweep.best_depth(cm.module, "op", 4) is not None
+        rng = np.random.default_rng(29)
+        x = rng.standard_normal((1152, 1024)).astype(np.float32)
+        one = cm.opdef("op")
+        y_ref = x
+        for _ in range(4):
+            y_ref = np.asarray(one(y_ref), np.float32)
+        config.pallas_interpret = True
+        try:
+            y = np.asarray(cm.sweeps("op", 4)(x))
+        finally:
+            config.pallas_interpret = False
+        np.testing.assert_allclose(y, y_ref, atol=1e-5)
+
     def test_resident_deep_k(self):
         # k beyond the per-call unroll cap chains resident calls
         m = jacobi_module(128, 128, FIVE_POINT)
