@@ -41,9 +41,14 @@ Mechanics (shared with the K-sweep window, validated on v5e):
 
 Scope: opdefs with >= 2 applies after inlining apply_linear /
 apply_nonlinear calls, field args all sharing the result bounds, trailing
-scalar args, float32 (rolls are 32-bit), rank 2 or 3, non-periodic,
-single-result applies, one opdef result. Everything else falls back to the
-per-stage paths.
+scalar args, float32 (rolls are 32-bit), rank 2 or 3, single-result
+applies, one opdef result. Periodic (torus) stages are supported on the
+WHOLE-GRID entry point (round 4): the ring fetch's wrapped edge DMAs give
+the first/last windows true torus rows and the dim-0 coordinate iotas go
+modular, so stage masks and index() bodies evaluate at the wrapped global
+row — mixed periodic/bounded chains stay bit-faithful. The sharded
+(global_start) path keeps rejecting periodic: its torus wrap rides the
+exchanged strips instead. Everything else falls back to per-stage paths.
 """
 
 from __future__ import annotations
@@ -184,6 +189,11 @@ def chain_plan(
     rank = outer.rank
     if rank not in (2, 3):
         return None
+    # periodic chains are whole-grid only: torus wrap is defined against the
+    # declared outer bounds, so a caller-supplied local shape (the shard_map
+    # case, where the exchanged strips provide the wrap) must stay on the
+    # per-stage paths
+    whole_grid = shape is None
     if shape is None:
         shape = tuple(outer.shape)
     if len(shape) != rank:
@@ -231,13 +241,19 @@ def chain_plan(
     # per-stage checks + dim-0 validity creep through the DAG
     creep = {s: 0 for s in range(n_fields)}
     halos = [0] * rank
+    any_periodic = False
     for st in stages:
         op = st.op
         ot: TempType = op.results[0].type
         if ot.element != "float32" or ot.bounds != outer:
             return None
         if op.attrs.get("periodic"):
-            return None
+            # torus stages need true wrapped rows at the array-edge windows
+            # (the ring fetch's periodic edge DMAs) and modular coordinates;
+            # both are whole-grid-only constructions
+            if not whole_grid:
+                return None
+            any_periodic = True
         n_in = op.attrs.get("num_inputs", len(op.operands))
         if n_in != len(st.in_slots) or n_in < 1:
             return None
@@ -319,6 +335,7 @@ def chain_plan(
         "last_use": last_use,
         "scalar_dtypes": scalar_dtypes,
         "peak": peak,
+        "periodic": any_periodic,
     }
 
 
@@ -348,6 +365,10 @@ def execute_chain(
     n_slabs = shape[0] // slab
     n_scalars = plan["n_scalars"]
     n_start = 0 if global_start is None else rank
+    periodic = bool(plan.get("periodic"))
+    assert not (periodic and global_start is not None), (
+        "periodic chains are whole-grid only (chain_plan enforces this)"
+    )
     assert len(fields) == n_f and len(scalars) == n_scalars
 
     def kernel(*refs):
@@ -370,7 +391,7 @@ def execute_chain(
         pallas_backend._ring_window_io(
             i, hbm_refs, scratches, sems,
             n_in=n_f, slab=slab, h0p=hp, win=win, n_slabs=n_slabs,
-            N=shape[0], al=8, periodic=False,
+            N=shape[0], al=8, periodic=periodic,
         )
 
         env = {}
@@ -385,7 +406,14 @@ def execute_chain(
         def global_iota(d):
             iv = jax.lax.broadcasted_iota(jnp.int32, wshape, d)
             if d == 0:
-                return iv + i * slab - jnp.int32(hp) + base_of(0)
+                off = iv + i * slab - jnp.int32(hp)
+                if periodic:
+                    # wrapped edge rows hold TRUE torus rows (the ring
+                    # fetch's periodic DMAs), so their coordinates — used
+                    # by stage masks and index() bodies — must be the
+                    # wrapped global row, not the out-of-range window row
+                    off = off % jnp.int32(shape[0])
+                return off + base_of(0)
             return iv + base_of(d)
 
         arg_vals = [r[0, 0] for r in scalar_refs]

@@ -116,6 +116,54 @@ def scalar_chain_module(n):
     return compile_ir(b.module)
 
 
+def periodic_chain_module(n, stages=3, mixed=False, use_index=False):
+    """composite of torus (periodic, full-domain) 5-pt stages; mixed=True
+    swaps the middle stage for a BOUNDED interior op (legal in one chain:
+    the wrapped window rows carry true torus values, so every stage's
+    per-row semantics is position-exact); use_index adds a coordinate term
+    to each periodic stage, pinning the modular dim-0 iotas at wrapped rows.
+    """
+    b = NeptuneBuilder()
+    bounds = Bounds.of((0, 0), (n, n))
+    tt = TempType("float32", bounds)
+    st = ScalarType("float32")
+
+    fn = b.make_opdef("plap", "linear_opdef", [tt], [tt])
+    b.push_block(fn.body)
+    op, body = b.start_apply([fn.body.args[0]], bounds, periodic=True)
+    b.push_block(body)
+    u = body.args[2]
+    s = b.add(
+        b.add(b.access(u, [-1, 0]), b.access(u, [1, 0])),
+        b.add(b.access(u, [0, -1]), b.access(u, [0, 1])),
+    )
+    y = b.add(
+        b.mul(b.constant(0.6, st), b.access(u, [0, 0])),
+        b.mul(b.constant(0.1, st), s),
+    )
+    if use_index:
+        # + 1e-4 * i0: wrong (non-modular) coordinates at wrapped rows
+        # would leak into output rows near the domain edge
+        y = b.add(y, b.mul(b.constant(1e-4, st), b.cast(body.args[0], st)))
+    b.yield_(y)
+    b.pop_block()
+    b.return_([b.finish_apply(op)])
+    b.pop_block()
+
+    if mixed:
+        _build_lap(b, tt, n, 2, name="blap")
+
+    wf = b.make_opdef("chain", "linear_opdef", [tt], [tt])
+    b.push_block(wf.body)
+    y = wf.body.args[0]
+    for i in range(stages):
+        callee = "blap" if (mixed and i == stages // 2) else "plap"
+        y = b.apply_linear(callee, [y])
+    b.return_([y])
+    b.pop_block()
+    return compile_ir(b.module)
+
+
 class TestChainPlan:
     def test_eligible_composite(self):
         cm = lap_chain_module(128)
@@ -138,6 +186,49 @@ class TestChainPlan:
         # last dim < 128 lanes: not worth a window pass
         cm = lap_chain_module(64)
         assert pallas_chain.chain_plan(cm.module, "chain") is None
+
+
+class TestPeriodicChain:
+    def test_plan_whole_grid_only(self):
+        cm = periodic_chain_module(128)
+        plan = pallas_chain.chain_plan(cm.module, "chain")
+        assert plan is not None and plan["periodic"]
+        # a caller-supplied local shape (the shard_map path) must reject
+        # periodic chains: torus wrap is defined against the outer bounds
+        assert pallas_chain.chain_plan(cm.module, "chain", (128, 128)) is None
+
+    def test_matches_jnp_oracle(self, interpret):
+        cm = periodic_chain_module(128, stages=3)
+        assert pallas_chain.chain_plan(cm.module, "chain") is not None
+        x = np.random.default_rng(11).standard_normal((128, 128)).astype(
+            np.float32
+        )
+        out = np.asarray(cm.opdef("chain")(x))
+        ref = np.asarray(CompiledModule(cm.module, "jnp").opdef("chain")(x))
+        np.testing.assert_allclose(out, ref, rtol=0, atol=1e-5)
+
+    def test_mixed_periodic_bounded_stages(self, interpret):
+        cm = periodic_chain_module(128, stages=3, mixed=True)
+        assert pallas_chain.chain_plan(cm.module, "chain") is not None
+        x = np.random.default_rng(12).standard_normal((128, 128)).astype(
+            np.float32
+        )
+        out = np.asarray(cm.opdef("chain")(x))
+        ref = np.asarray(CompiledModule(cm.module, "jnp").opdef("chain")(x))
+        np.testing.assert_allclose(out, ref, rtol=0, atol=1e-5)
+
+    def test_index_coordinates_wrap(self, interpret):
+        # coordinate-dependent bodies: the wrapped edge-window rows must
+        # evaluate index() at the TRUE torus row, not the out-of-range
+        # window coordinate
+        cm = periodic_chain_module(128, stages=3, use_index=True)
+        assert pallas_chain.chain_plan(cm.module, "chain") is not None
+        x = np.random.default_rng(13).standard_normal((128, 128)).astype(
+            np.float32
+        )
+        out = np.asarray(cm.opdef("chain")(x))
+        ref = np.asarray(CompiledModule(cm.module, "jnp").opdef("chain")(x))
+        np.testing.assert_allclose(out, ref, rtol=0, atol=1e-5)
 
 
 class TestChainExecution:
