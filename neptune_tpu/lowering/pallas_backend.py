@@ -365,7 +365,9 @@ def _pick_slab_collapsed(extent0: int, row_bytes: int, n_in: int,
     return None
 
 
-def _execute_dma(op: Operation, operand_arrays, *, interpret: bool):
+def _execute_dma(
+    op: Operation, operand_arrays, *, interpret: bool, global_start=None
+):
     """Route to the rank-specific rolling-window kernel.
 
     Both ranks use the same RING HEAD-COPY window scheme (round 4): the
@@ -380,10 +382,21 @@ def _execute_dma(op: Operation, operand_arrays, *, interpret: bool):
       sublane tile (8 rows f32 / 16 bf16) so every DMA offset stays
       tile-aligned (the round-3 clamp+pltpu.roll realignment this replaces
       paid a whole-window dynamic rotate on every step).
+
+    global_start=None: static coordinate bases (whole-grid). Otherwise a
+    sequence of traced int32 global logical coordinates of local row 0 per
+    dim (the shard_map case): coordinates ride SMEM scalars, the interior
+    mask is built from the traced starts, and the grid shape is the local
+    block's (stale block-edge rows are garbage the caller's band fixups
+    recompute — same contract as `execute_apply_window`).
     """
     if op.results[0].type.bounds.rank == 3:
-        return _execute_dma_rank3(op, operand_arrays, interpret=interpret)
-    return _execute_dma_rank2(op, operand_arrays, interpret=interpret)
+        return _execute_dma_rank3(
+            op, operand_arrays, interpret=interpret, global_start=global_start
+        )
+    return _execute_dma_rank2(
+        op, operand_arrays, interpret=interpret, global_start=global_start
+    )
 
 
 def _ring_window_io(
@@ -575,7 +588,9 @@ def _ring_window_io(
         start_head_copy(i % 2, (i + 1) % 2)
 
 
-def _execute_dma_rank3(op: Operation, operand_arrays, *, interpret: bool):
+def _execute_dma_rank3(
+    op: Operation, operand_arrays, *, interpret: bool, global_start=None
+):
     out_type: TempType = op.results[0].type
     n_in = op.attrs.get("num_inputs", len(op.operands))
     inputs = operand_arrays[:n_in]
@@ -583,7 +598,10 @@ def _execute_dma_rank3(op: Operation, operand_arrays, *, interpret: bool):
     bounds: Bounds = op.attrs["bounds"]
     outer = out_type.bounds
     rank = outer.rank
-    shape = outer.shape
+    # traced-start (shard_map) calls run over the LOCAL block's shape; the
+    # whole-grid path keeps the declared outer shape (identical to the
+    # input's — `supported` enforced it)
+    shape = outer.shape if global_start is None else tuple(inputs[0].shape)
     dtype = jnp.dtype(out_type.element)
 
     sshape: StencilShape = op.attrs.get("shape") or StencilShape(())
@@ -625,40 +643,60 @@ def _execute_dma_rank3(op: Operation, operand_arrays, *, interpret: bool):
     body = op.region(0)
     n_results = len(op.results)
     full_domain = bounds == outer
-    periodic = bool(op.attrs.get("periodic"))
+    # traced-start (sharded local) windows keep the bounded-garbage edge
+    # contract: the caller's band fixups recompute block edges either way
+    periodic = bool(op.attrs.get("periodic")) and global_start is None
+    n_start = 0 if global_start is None else rank
 
     # The copy-through mask is separable: an in-kernel per-cell rebuild
     # (3 iotas + 6 compares per step) measured ~10% of the whole sweep.
     # Instead, the trailing-dims (sublane/lane) interior mask is precomputed
-    # ONCE on host as a tiny i32 block fetched by the pipeline (constant
-    # block index -> one fetch for the whole grid), and the dim-0 mask — a
-    # scalar range test per slab — is pl.when-gated so only the first/last
-    # slabs that actually intersect the dim-0 boundary pay for it.
+    # ONCE — on host for static coordinates, as a tiny traced jnp array
+    # outside the kernel for the shard_map case — and fetched by the
+    # pipeline (constant block index -> one fetch for the whole grid). The
+    # dim-0 mask — a scalar range test per slab — is pl.when-gated so only
+    # the first/last slabs that actually intersect the dim-0 boundary pay.
     mask_trail = None
     lb0p = ub0p = 0
     if not full_domain:
-        import numpy as _np
+        if global_start is None:
+            import numpy as _np
 
-        mt = _np.ones(kshape[1:], _np.int32)
-        for d in range(1, rank):
-            idx = _np.arange(kshape[d]) + outer.lb[d]
-            md = (idx >= bounds.lb[d]) & (idx < bounds.ub[d])
-            mt *= md.astype(_np.int32).reshape(
-                (1,) * (d - 1) + (-1,) + (1,) * (rank - 1 - d)
-            )
-        mask_trail = jnp.asarray(mt)
-        lb0p = bounds.lb[0] - outer.lb[0]
-        ub0p = bounds.ub[0] - outer.lb[0]
+            mt = _np.ones(kshape[1:], _np.int32)
+            for d in range(1, rank):
+                idx = _np.arange(kshape[d]) + outer.lb[d]
+                md = (idx >= bounds.lb[d]) & (idx < bounds.ub[d])
+                mt *= md.astype(_np.int32).reshape(
+                    (1,) * (d - 1) + (-1,) + (1,) * (rank - 1 - d)
+                )
+            mask_trail = jnp.asarray(mt)
+            lb0p = bounds.lb[0] - outer.lb[0]
+            ub0p = bounds.ub[0] - outer.lb[0]
+        else:
+            mt = None
+            for d in range(1, rank):
+                idx = (
+                    jnp.arange(kshape[d], dtype=jnp.int32)
+                    + jnp.asarray(global_start[d], jnp.int32)
+                )
+                md = (idx >= bounds.lb[d]) & (idx < bounds.ub[d])
+                md = md.astype(jnp.int32).reshape(
+                    (1,) * (d - 1) + (-1,) + (1,) * (rank - 1 - d)
+                )
+                mt = md if mt is None else mt * md
+            mask_trail = jnp.broadcast_to(mt, kshape[1:])
     n_mask = 0 if mask_trail is None else 1
 
     def kernel(*refs):
         hbm_refs = refs[:n_in]
-        scalar_refs = refs[n_in : n_in + len(scalars)]
-        mask_ref = refs[n_in + len(scalars)] if n_mask else None
+        start_refs = refs[n_in : n_in + n_start]
+        base = n_in + n_start
+        scalar_refs = refs[base : base + len(scalars)]
+        mask_ref = refs[base + len(scalars)] if n_mask else None
         out_refs = refs[
-            n_in + len(scalars) + n_mask : n_in + len(scalars) + n_mask + n_results
+            base + len(scalars) + n_mask : base + len(scalars) + n_mask + n_results
         ]
-        scratches = refs[n_in + len(scalars) + n_mask + n_results : -1]
+        scratches = refs[base + len(scalars) + n_mask + n_results : -1]
         sems = refs[-1]  # DMA semaphores, shape (n_in, 2)
 
         i = pl.program_id(0)
@@ -670,6 +708,11 @@ def _execute_dma_rank3(op: Operation, operand_arrays, *, interpret: bool):
         )
 
         slot = i % 2
+
+        def base_of(d):
+            if global_start is None:
+                return jnp.int32(outer.lb[d])
+            return start_refs[d][0, 0]
 
         # Cache the dim-0 window slices by (input, o0): a 7-pt reads the
         # center slice for 5 of its 7 accesses, and Mosaic does not CSE
@@ -695,11 +738,10 @@ def _execute_dma_rank3(op: Operation, operand_arrays, *, interpret: bool):
 
         def index_fn(d):
             blk = (slab,) + kshape[1:]
-            if d == 0:
-                iv = jax.lax.broadcasted_iota(jnp.int32, blk, 0)
-                return iv + i * slab + outer.lb[0]
             iv = jax.lax.broadcasted_iota(jnp.int32, blk, d)
-            return iv + outer.lb[d]
+            if d == 0:
+                return iv + i * slab + base_of(0)
+            return iv + base_of(d)
 
         scalar_vals = [r[0, 0] for r in scalar_refs]
         yields = jnp_backend.eval_scalar_dag(
@@ -722,13 +764,20 @@ def _execute_dma_rank3(op: Operation, operand_arrays, *, interpret: bool):
                 out_refs[j][...] = vals[j]
         else:
             m12 = jnp.broadcast_to(mask_ref[...] != 0, blk)
+            if global_start is None:
+                lb0 = jnp.int32(lb0p)
+                ub0 = jnp.int32(ub0p)
+            else:
+                # bounds are static; the local block's position is traced
+                lb0 = jnp.int32(bounds.lb[0]) - start_refs[0][0, 0]
+                ub0 = jnp.int32(bounds.ub[0]) - start_refs[0][0, 0]
             # does this slab contain any dim-0 boundary rows?
-            need0 = (i * slab < lb0p) | ((i + 1) * slab > ub0p)
+            need0 = (i * slab < lb0) | ((i + 1) * slab > ub0)
 
             @pl.when(need0)
             def _():
                 iv0 = jax.lax.broadcasted_iota(jnp.int32, blk, 0) + i * slab
-                m = m12 & (iv0 >= lb0p) & (iv0 < ub0p)
+                m = m12 & (iv0 >= lb0) & (iv0 < ub0)
                 for j in range(n_results):
                     out_refs[j][...] = jnp.where(m, vals[j], seeds[j])
 
@@ -738,7 +787,7 @@ def _execute_dma_rank3(op: Operation, operand_arrays, *, interpret: bool):
                     out_refs[j][...] = jnp.where(m12, vals[j], seeds[j])
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_in)]
-    for _ in scalars:
+    for _ in range(n_start + len(scalars)):
         in_specs.append(
             pl.BlockSpec(
                 (1, 1),
@@ -768,7 +817,13 @@ def _execute_dma_rank3(op: Operation, operand_arrays, *, interpret: bool):
     ] + [pltpu.SemaphoreType.DMA((n_in, 2, 3))]
 
     scalar_args = [jnp.asarray(s).reshape(1, 1) for s in scalars]
-    call_inputs = [jnp.asarray(a, dtype) for a in inputs] + scalar_args
+    call_inputs = [jnp.asarray(a, dtype) for a in inputs]
+    if global_start is not None:
+        call_inputs.extend(
+            jnp.asarray(global_start[d], jnp.int32).reshape(1, 1)
+            for d in range(rank)
+        )
+    call_inputs.extend(scalar_args)
     if mask_trail is not None:
         call_inputs.append(mask_trail)
     out_shape = [
