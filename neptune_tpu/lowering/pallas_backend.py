@@ -107,7 +107,7 @@ def try_execute_apply(op: Operation, operand_arrays: Sequence) -> Optional[objec
     return _execute(op, tuple(operand_arrays), interpret=config.pallas_interpret)
 
 
-def _dma_profitable(op: Operation) -> bool:
+def _dma_profitable(op: Operation, shape=None) -> bool:
     """The rolling-window DMA kernel pays off when the multi-copy path's
     (2h+1)x dim-0 read amplification bites: wide dim-0 halos (measured on
     v5e: 4th-order advection 74 -> 86 Gcell/s). For rank-2 h0 == 1 the
@@ -124,8 +124,12 @@ def _dma_profitable(op: Operation) -> bool:
     # to be tile-aligned ("Slice shape along dimension 2 must be aligned
     # to tiling (128)", observed on v5e at 64^3) — unaligned lane extents
     # fall back to the multi-copy path, whose BlockSpec pipeline handles
-    # padding internally.
-    if op.results[0].type.bounds.shape[-1] % 128:
+    # padding internally. `shape` is the physical array the kernel windows
+    # over: the global grid on the whole-grid path, the LOCAL block under
+    # shard_map (execute_apply_window).
+    if shape is None:
+        shape = op.results[0].type.bounds.shape
+    if shape[-1] % 128:
         return False
     # bf16: the round-3 scheme's branched edge correction made the DMA
     # kernel LOSE to multi-copy at 2-byte elements (48.5 vs 73.8 Gcell/s,
@@ -850,7 +854,9 @@ def _execute_dma_rank3(
     )(*call_inputs)
 
 
-def _execute_dma_rank2(op: Operation, operand_arrays, *, interpret: bool):
+def _execute_dma_rank2(
+    op: Operation, operand_arrays, *, interpret: bool, global_start=None
+):
     """Rank-2 rolling window on the tiled sublane dim (ring head-copy).
 
     Mosaic requires sublane-tile-aligned buffer shapes and slice starts on
@@ -859,6 +865,12 @@ def _execute_dma_rank2(op: Operation, operand_arrays, *, interpret: bool):
     need no realignment at all — dtype-independent (the round-3 variant
     needed a dynamic pltpu.roll, 32-bit-only, with a branched static-shift
     fallback for bf16).
+
+    global_start: same contract as `_execute_dma_rank3` — None for the
+    whole-grid path; otherwise per-dim traced int32 global coordinates of
+    local row 0 (the shard_map case: coordinates ride SMEM scalars, the
+    interior mask is traced, stale block-edge rows are the caller's band
+    fixups' problem).
     """
     out_type: TempType = op.results[0].type
     n_in = op.attrs.get("num_inputs", len(op.operands))
@@ -867,7 +879,7 @@ def _execute_dma_rank2(op: Operation, operand_arrays, *, interpret: bool):
     bounds: Bounds = op.attrs["bounds"]
     outer = out_type.bounds
     rank = outer.rank
-    shape = outer.shape
+    shape = outer.shape if global_start is None else tuple(inputs[0].shape)
     dtype = jnp.dtype(out_type.element)
 
     sshape: StencilShape = op.attrs.get("shape") or StencilShape(())
@@ -901,33 +913,51 @@ def _execute_dma_rank2(op: Operation, operand_arrays, *, interpret: bool):
     body = op.region(0)
     n_results = len(op.results)
     full_domain = bounds == outer
-    periodic = bool(op.attrs.get("periodic"))
+    # traced-start (sharded local) windows keep the bounded-garbage edge
+    # contract: the caller's band fixups recompute block edges either way
+    periodic = bool(op.attrs.get("periodic")) and global_start is None
+    n_start = 0 if global_start is None else rank
 
     # Copy-through mask, split like the rank-3 kernel: the lane-dim
-    # interior mask is host-precomputed and fetched ONCE by the pipeline
-    # (an in-kernel per-step rebuild measured ~10% of the rank-3 sweep);
-    # the dim-0 range test is pl.when-gated so only slabs that intersect
-    # the dim-0 boundary pay for it.
+    # interior mask is precomputed ONCE (host for static coordinates, a
+    # tiny traced jnp array for the shard_map case) and fetched once by
+    # the pipeline (an in-kernel per-step rebuild measured ~10% of the
+    # rank-3 sweep); the dim-0 range test is pl.when-gated so only slabs
+    # that intersect the dim-0 boundary pay for it.
     mask_trail = None
     lb0p = ub0p = 0
     if not full_domain:
-        import numpy as _np
+        if global_start is None:
+            import numpy as _np
 
-        idx1 = _np.arange(shape[1]) + outer.lb[1]
-        mt = ((idx1 >= bounds.lb[1]) & (idx1 < bounds.ub[1])).astype(_np.int32)
-        mask_trail = jnp.asarray(mt.reshape(1, shape[1]))
-        lb0p = bounds.lb[0] - outer.lb[0]
-        ub0p = bounds.ub[0] - outer.lb[0]
+            idx1 = _np.arange(shape[1]) + outer.lb[1]
+            mt = ((idx1 >= bounds.lb[1]) & (idx1 < bounds.ub[1])).astype(
+                _np.int32
+            )
+            mask_trail = jnp.asarray(mt.reshape(1, shape[1]))
+            lb0p = bounds.lb[0] - outer.lb[0]
+            ub0p = bounds.ub[0] - outer.lb[0]
+        else:
+            idx1 = (
+                jnp.arange(shape[1], dtype=jnp.int32)
+                + jnp.asarray(global_start[1], jnp.int32)
+            )
+            mt = ((idx1 >= bounds.lb[1]) & (idx1 < bounds.ub[1])).astype(
+                jnp.int32
+            )
+            mask_trail = mt.reshape(1, shape[1])
     n_mask = 0 if mask_trail is None else 1
 
     def kernel(*refs):
         hbm_refs = refs[:n_in]
-        scalar_refs = refs[n_in : n_in + len(scalars)]
-        mask_ref = refs[n_in + len(scalars)] if n_mask else None
+        start_refs = refs[n_in : n_in + n_start]
+        base = n_in + n_start
+        scalar_refs = refs[base : base + len(scalars)]
+        mask_ref = refs[base + len(scalars)] if n_mask else None
         out_refs = refs[
-            n_in + len(scalars) + n_mask : n_in + len(scalars) + n_mask + n_results
+            base + len(scalars) + n_mask : base + len(scalars) + n_mask + n_results
         ]
-        scratches = refs[n_in + len(scalars) + n_mask + n_results : -1]
+        scratches = refs[base + len(scalars) + n_mask + n_results : -1]
         sems = refs[-1]  # DMA semaphores, shape (n_in, 2, 2)
 
         i = pl.program_id(0)
@@ -953,13 +983,16 @@ def _execute_dma_rank2(op: Operation, operand_arrays, *, interpret: bool):
                 sl = _wrap_shift(sl, d, offset[d], shape[d])
             return sl
 
+        def base_of(d):
+            if global_start is None:
+                return jnp.int32(outer.lb[d])
+            return start_refs[d][0, 0]
+
         def index_fn(d):
-            if d == 0:
-                base = i * slab + outer.lb[0]
-                iv = jax.lax.broadcasted_iota(jnp.int32, (slab,) + shape[1:], 0)
-                return iv + base
             iv = jax.lax.broadcasted_iota(jnp.int32, (slab,) + shape[1:], d)
-            return iv + outer.lb[d]
+            if d == 0:
+                return iv + i * slab + base_of(0)
+            return iv + base_of(d)
 
         scalar_vals = [r[0, 0] for r in scalar_refs]
         yields = jnp_backend.eval_scalar_dag(
@@ -984,13 +1017,20 @@ def _execute_dma_rank2(op: Operation, operand_arrays, *, interpret: bool):
                 out_refs[j][...] = vals[j]
         else:
             m12 = jnp.broadcast_to(mask_ref[...] != 0, blk)
+            if global_start is None:
+                lb0 = jnp.int32(lb0p)
+                ub0 = jnp.int32(ub0p)
+            else:
+                # bounds are static; the local block's position is traced
+                lb0 = jnp.int32(bounds.lb[0]) - start_refs[0][0, 0]
+                ub0 = jnp.int32(bounds.ub[0]) - start_refs[0][0, 0]
             # does this slab contain any dim-0 boundary rows?
-            need0 = (i * slab < lb0p) | ((i + 1) * slab > ub0p)
+            need0 = (i * slab < lb0) | ((i + 1) * slab > ub0)
 
             @pl.when(need0)
             def _():
                 iv0 = jax.lax.broadcasted_iota(jnp.int32, blk, 0) + i * slab
-                m = m12 & (iv0 >= lb0p) & (iv0 < ub0p)
+                m = m12 & (iv0 >= lb0) & (iv0 < ub0)
                 for j in range(n_results):
                     out_refs[j][...] = jnp.where(m, vals[j], seeds[j])
 
@@ -1000,7 +1040,7 @@ def _execute_dma_rank2(op: Operation, operand_arrays, *, interpret: bool):
                     out_refs[j][...] = jnp.where(m12, vals[j], seeds[j])
 
     in_specs = [pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_in)]
-    for _ in scalars:
+    for _ in range(n_start + len(scalars)):
         in_specs.append(
             pl.BlockSpec(
                 (1, 1),
@@ -1030,7 +1070,13 @@ def _execute_dma_rank2(op: Operation, operand_arrays, *, interpret: bool):
     ] + [pltpu.SemaphoreType.DMA((n_in, 2, 3))]
 
     scalar_args = [jnp.asarray(s).reshape(1, 1) for s in scalars]
-    call_inputs = [jnp.asarray(a, dtype) for a in inputs] + scalar_args
+    call_inputs = [jnp.asarray(a, dtype) for a in inputs]
+    if global_start is not None:
+        call_inputs.extend(
+            jnp.asarray(global_start[d], jnp.int32).reshape(1, 1)
+            for d in range(rank)
+        )
+    call_inputs.extend(scalar_args)
     if mask_trail is not None:
         call_inputs.append(mask_trail)
     out_shape = [
@@ -1098,7 +1144,25 @@ def execute_apply_window(
 
     global_start[d]: traced int32 global logical coordinate of window row 0.
     Returns arrays of ext_shape (caller carves out the interior).
+
+    Routing: when the rolling-window DMA ring kernel pays on the LOCAL
+    block's geometry (same `_dma_profitable` trade as the whole-grid path:
+    wide dim-0 halos rank-2, always rank-3, lane-aligned rows), the apply
+    runs there — single HBM pass per input instead of the multi-copy
+    BlockSpec pipeline's (2h+1)x dim-0 read amplification. Both kernels
+    share the block-edge contract (stale/clamped edge rows are the caller's
+    band fixups' problem), so the routing is invisible to callers.
     """
+    if _dma_profitable(op, tuple(ext_shape)):
+        try:
+            return _execute_dma(
+                op,
+                tuple(ext_arrays) + tuple(scalars),
+                interpret=interpret,
+                global_start=global_start,
+            )
+        except NotImplementedError:
+            pass
     out_type: TempType = op.results[0].type
     n_in = op.attrs.get("num_inputs", len(op.operands))
     bounds: Bounds = op.attrs["bounds"]

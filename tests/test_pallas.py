@@ -297,3 +297,129 @@ class TestDmaWindowKernel:
         got = np.asarray(cm.function("wide0")(x))
         want = np.asarray(jnp_backend.execute_apply(op, (x,)))
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestShardedDmaWindow:
+    """The sharded single-sweep DMA ring path (VERDICT r4 next #6): under
+    shard_map, `execute_apply_window` routes to `_execute_dma` with traced
+    global_start when the local block's geometry makes the ring kernel
+    profitable (wide dim-0 halo rank-2; always rank-3; lane-aligned rows).
+    Parity vs the whole-grid oracle proves the traced-start coordinates,
+    SMEM scalar plumbing, and the caller's band fixups compose correctly."""
+
+    def _spy_dma(self, monkeypatch):
+        from neptune_tpu.lowering import pallas_backend
+
+        calls = []
+        real = pallas_backend._execute_dma
+
+        def spy(op, arrays, *, interpret, global_start=None):
+            calls.append(global_start is not None)
+            return real(
+                op, arrays, interpret=interpret, global_start=global_start
+            )
+
+        monkeypatch.setattr(pallas_backend, "_execute_dma", spy)
+        return calls
+
+    @pytest.mark.parametrize("axes", [(2, 1), (2, 2)])
+    def test_rank2_wide_fused_strips(self, axes, monkeypatch):
+        import jax
+
+        from neptune_tpu.parallel import GridMesh, shardmap_opdef
+
+        monkeypatch.setattr(config, "pallas_interpret", True)
+        calls = self._spy_dma(monkeypatch)
+        n, m = 128, 256  # local lanes stay 128-aligned on both meshes
+
+        @ntp.nonlinear_op_def(
+            bounds=([0, 0], [n, m]),
+            interior=([2, 2], [n - 2, m - 2]),
+            dtype="float32",
+            name="adv4sh",
+        )
+        def adv4sh(u):
+            dudx = (-u[2, 0] + 8.0 * u[1, 0] - 8.0 * u[-1, 0] + u[-2, 0]) / 12.0
+            dudy = (-u[0, 2] + 8.0 * u[0, 1] - 8.0 * u[0, -1] + u[0, -2]) / 12.0
+            return u[0, 0] - 0.1 * (0.7 * dudx + 0.3 * dudy)
+
+        cm = ntp.get_context().compiled()
+        gm = GridMesh(axes, ("x", "y"))
+        f = jax.jit(shardmap_opdef(cm, "adv4sh", gm))
+        x = np.random.default_rng(21).standard_normal((n, m)).astype(np.float32)
+        out = np.asarray(f(gm.shard(x)))
+        from neptune_tpu.lowering import jnp_backend
+
+        fn = cm.module.lookup("adv4sh")
+        op = [o for o in fn.body.ops if o.name == "neptune.apply"][0]
+        want = np.asarray(jnp_backend.execute_apply(op, (x,)))
+        np.testing.assert_allclose(out, want, atol=1e-5)
+        assert calls and all(calls), "main sweep must route through the DMA ring kernel with traced start"
+
+    def test_rank2_bf16(self, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+
+        from neptune_tpu.parallel import GridMesh, shardmap_opdef
+
+        monkeypatch.setattr(config, "pallas_interpret", True)
+        calls = self._spy_dma(monkeypatch)
+        n, m = 128, 256
+
+        @ntp.nonlinear_op_def(
+            bounds=([0, 0], [n, m]),
+            interior=([2, 2], [n - 2, m - 2]),
+            dtype="bfloat16",
+            name="adv4shb",
+        )
+        def adv4shb(u):
+            return u[0, 0] - 0.1 * (u[2, 0] - u[-2, 0] + u[0, 2] - u[0, -2])
+
+        cm = ntp.get_context().compiled()
+        gm = GridMesh((2, 1), ("x", "y"))
+        f = jax.jit(shardmap_opdef(cm, "adv4shb", gm))
+        x = np.random.default_rng(23).standard_normal((n, m)).astype(np.float32)
+        xb = jnp.asarray(x, jnp.bfloat16)
+        out = np.asarray(f(gm.shard(xb)), np.float32)
+        from neptune_tpu.lowering import jnp_backend
+
+        fn = cm.module.lookup("adv4shb")
+        op = [o for o in fn.body.ops if o.name == "neptune.apply"][0]
+        want = np.asarray(jnp_backend.execute_apply(op, (xb,)), np.float32)
+        np.testing.assert_allclose(out, want, atol=1e-2)
+        assert calls and all(calls)
+
+    def test_rank3_traced_start(self, monkeypatch):
+        import jax
+
+        from neptune_tpu.parallel import GridMesh, shardmap_opdef
+
+        monkeypatch.setattr(config, "pallas_interpret", True)
+        calls = self._spy_dma(monkeypatch)
+        m, w = 32, 256
+
+        @ntp.linear_op_def(
+            bounds=([0, 0, 0], [m, m, w]),
+            interior=([1, 1, 1], [m - 1, m - 1, w - 1]),
+            dtype="float32",
+            name="heat3sh",
+        )
+        def heat3sh(u):
+            return u[0, 0, 0] + 0.1 * (
+                u[-1, 0, 0] + u[1, 0, 0] + u[0, -1, 0]
+                + u[0, 1, 0] + u[0, 0, -1] + u[0, 0, 1]
+                - 6.0 * u[0, 0, 0]
+            )
+
+        cm = ntp.get_context().compiled()
+        gm = GridMesh((2, 2), ("x", "y"))
+        f = jax.jit(shardmap_opdef(cm, "heat3sh", gm))
+        x = np.random.default_rng(29).standard_normal((m, m, w)).astype(np.float32)
+        out = np.asarray(f(gm.shard(x)))
+        from neptune_tpu.lowering import jnp_backend
+
+        fn = cm.module.lookup("heat3sh")
+        op = [o for o in fn.body.ops if o.name == "neptune.apply"][0]
+        want = np.asarray(jnp_backend.execute_apply(op, (x,)))
+        np.testing.assert_allclose(out, want, atol=1e-5)
+        assert calls and all(calls)
