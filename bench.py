@@ -743,6 +743,43 @@ def full_suite(results=None):
         "kernel": "shard_map + halo exchange + Pallas window kernel",
     }
 
+    # config 5a2: the sharded single-sweep DMA ring path (VERDICT r4 next
+    # #6): a wide (h0=2) rank-2 stencil under shard_map routes the local
+    # main sweep through _execute_dma with traced global_start — one HBM
+    # pass per input instead of the multi-copy pipeline's (2h+1)x dim-0
+    # read amplification
+    try:
+        n4d = 4096
+        ntp.reset_context()
+
+        @ntp.nonlinear_op_def(
+            bounds=([0, 0], [n4d, n4d]),
+            interior=([2, 2], [n4d - 2, n4d - 2]),
+            dtype="float32",
+            name="adv4_sh",
+        )
+        def adv4_sh(u):
+            dudx = (-u[2, 0] + 8.0 * u[1, 0] - 8.0 * u[-1, 0] + u[-2, 0]) / 12.0
+            dudy = (-u[0, 2] + 8.0 * u[0, 1] - 8.0 * u[0, -1] + u[0, -2]) / 12.0
+            return u[0, 0] - 0.1 * (0.7 * dudx + 0.3 * dudy)
+
+        cmd4 = ntp.get_context().compiled()
+        mvd = shardmap_opdef(cmd4, "adv4_sh", gm)
+        x4d = jnp.asarray(
+            np.random.default_rng(5).standard_normal((n4d, n4d)).astype(np.float32)
+        )
+        dt = timed_sweep(mvd, x4d, 20, 100)
+        results["shardmap_dma_1dev_adv4_4096"] = {
+            "us_per_sweep": dt * 1e6,
+            "gcell_per_s": n4d * n4d / dt / 1e9,
+            "frac_of_hbm_roofline": (n4d * n4d / dt) / ROOFLINE_CELLS,
+            "kernel": "shard_map fused strips + single-sweep DMA ring window "
+                      "(traced global_start), 4th-order h0=2",
+            **_timing(),
+        }
+    except Exception as e:
+        results["shardmap_dma_1dev_adv4_4096"] = {"error": repr(e)[:200]}
+
     # config 5b: the default sharded execution path — fused strip-exchange
     # (zero-ghost fused main sweep + ppermuted thin-band edge fixups; no
     # ghost-extended array is ever materialized)

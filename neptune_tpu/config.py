@@ -63,6 +63,17 @@ class Config:
     # keep default arithmetic.
     pinned_arithmetic: bool = os.environ.get("NEPTUNE_TPU_PINNED", "0") == "1"
 
+    # Affine folding: collapse constant-coefficient linear combinations of
+    # stencil accesses into one coefficient-folded FMA chain at lowering
+    # time (the classic stencil strength reduction: the traced form of a
+    # 4th-order derivative carries divisions and nested multiply chains —
+    # 19 elementwise block ops for the advection body — that fold to 8
+    # FMAs with exact python-float coefficient arithmetic). Applied
+    # uniformly by every non-pinned lowering (jnp oracle, Pallas kernels,
+    # shard_map locals), so backend-parity comparisons see identical
+    # arithmetic; pinned mode keeps the traced op order untouched.
+    fold_affine: bool = os.environ.get("NEPTUNE_TPU_FOLD_AFFINE", "1") == "1"
+
 
 config = Config()
 

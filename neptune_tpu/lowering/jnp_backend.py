@@ -67,15 +67,22 @@ _CMPS = {
 }
 
 
+_DTYPE_BY_NAME = {
+    "float64": jnp.float64,
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "index": jnp.int32,
+    "int32": jnp.int32,
+    "bool": jnp.bool_,
+}
+
+
 def _scalar_dtype(t: ScalarType):
-    return {
-        "float64": jnp.float64,
-        "float32": jnp.float32,
-        "bfloat16": jnp.bfloat16,
-        "index": jnp.int32,
-        "int32": jnp.int32,
-        "bool": jnp.bool_,
-    }[t.name]
+    return _DTYPE_BY_NAME[t.name]
+
+
+def _scalar_dtype_by_name(name: str):
+    return _DTYPE_BY_NAME[name]
 
 
 def shift_read(
@@ -121,6 +128,41 @@ def shift_read(
     return jnp.pad(arr[tuple(slices)], pads)
 
 
+class _Aff:
+    """Symbolic affine form `const + Σ coef_i · atom_i` built during DAG
+    evaluation (affine folding, config.fold_affine). Coefficients and the
+    constant are PYTHON floats — coefficient arithmetic happens exactly in
+    f64 at trace time and rounds into the array dtype once at
+    materialization, so the folded chain is never less accurate than the
+    traced op sequence it replaces. Atoms are opaque block values (stencil
+    accesses, scalar args, non-affine subgraph results)."""
+
+    __slots__ = ("const", "terms", "tname")
+
+    def __init__(self, const, terms, tname):
+        self.const = const
+        self.terms = terms  # dict: atom key -> python-float coefficient
+        self.tname = tname  # ScalarType name, for pure-const materialization
+
+
+_AFF_FLOATS = ("float64", "float32", "bfloat16")
+_AFF_OPS = (
+    "neptune.access", "arith.constant", "arith.neg",
+    "arith.add", "arith.sub", "arith.mul", "arith.div",
+)
+
+
+def _aff_scale(a: _Aff, c: float, tname) -> _Aff:
+    return _Aff(a.const * c, {k: v * c for k, v in a.terms.items()}, tname)
+
+
+def _aff_addsub(a: _Aff, b: _Aff, sign: float, tname) -> _Aff:
+    terms = dict(a.terms)
+    for k, v in b.terms.items():
+        terms[k] = terms.get(k, 0.0) + sign * v
+    return _Aff(a.const + sign * b.const, terms, tname)
+
+
 def eval_scalar_dag(
     body: Block,
     rank: int,
@@ -142,6 +184,7 @@ def eval_scalar_dag(
     """
     if pinned is None:
         pinned = config.pinned_arithmetic
+    fold = config.fold_affine and not pinned
     env: dict[int, object] = {}
     arg_of_input: dict[int, int] = {}
 
@@ -159,13 +202,104 @@ def eval_scalar_dag(
             index_cache[d] = index_fn(d)
         return index_cache[d]
 
+    # ---- affine folding (config.fold_affine) ------------------------------
+    atoms: dict[object, object] = {}  # atom key -> opaque block value
+
+    def materialize(a: _Aff):
+        coefs = list(a.terms.values())
+        acc = None
+        if len(coefs) > 1 and all(c == coefs[0] for c in coefs):
+            # common-coefficient factoring: Σ c·x_i = c·Σ x_i keeps e.g. the
+            # 5-pt Jacobi at its hand-written 4-op form instead of 4 FMAs
+            for k in a.terms:
+                v = atoms[k]
+                acc = v if acc is None else acc + v
+            c = coefs[0]
+            if c == -1.0:
+                acc = -acc
+            elif c != 1.0:
+                acc = acc * c
+        else:
+            for k, c in a.terms.items():
+                v = atoms[k]
+                t = v if c == 1.0 else (-v if c == -1.0 else c * v)
+                acc = t if acc is None else acc + t
+        if acc is None:
+            return jnp.asarray(a.const, _scalar_dtype_by_name(a.tname))
+        if a.const != 0.0:
+            acc = acc + a.const
+        return acc
+
+    def as_aff(o):
+        """The operand's affine view: an existing _Aff, or its opaque value
+        wrapped as a single atom. None for lazily-resolved index args."""
+        if o.block_arg_of is body and o.index < rank:
+            return None
+        val = env[o.uid]
+        if isinstance(val, _Aff):
+            return val
+        key = ("v", o.uid)
+        if key not in atoms:
+            atoms[key] = val
+        return _Aff(0.0, {key: 1.0}, None)
+
+    def try_fold(op) -> bool:
+        """Fold one affine op symbolically; False -> take the eager path."""
+        tname = op.results[0].type.name
+        if tname not in _AFF_FLOATS:
+            return False
+        name = op.name
+        if name == "neptune.access":
+            k = arg_of_input[op.operands[0].uid]
+            key = ("a", k, tuple(op.attrs["offset"]))
+            if key not in atoms:  # dedups repeated accesses as a side effect
+                atoms[key] = access_fn(k, op.attrs["offset"])
+            env[op.results[0].uid] = _Aff(0.0, {key: 1.0}, tname)
+            return True
+        if name == "arith.constant":
+            env[op.results[0].uid] = _Aff(float(op.attrs["value"]), {}, tname)
+            return True
+        if name == "arith.neg":
+            a = as_aff(op.operands[0])
+            if a is None:
+                return False
+            env[op.results[0].uid] = _aff_scale(a, -1.0, tname)
+            return True
+        a, b = (as_aff(o) for o in op.operands)
+        if a is None or b is None:
+            return False
+        if name == "arith.add" or name == "arith.sub":
+            sign = 1.0 if name == "arith.add" else -1.0
+            env[op.results[0].uid] = _aff_addsub(a, b, sign, tname)
+            return True
+        if name == "arith.mul":
+            if not a.terms:
+                env[op.results[0].uid] = _aff_scale(b, a.const, tname)
+                return True
+            if not b.terms:
+                env[op.results[0].uid] = _aff_scale(a, b.const, tname)
+                return True
+            return False  # field*field: materialize both, evaluate eagerly
+        if name == "arith.div":
+            if not b.terms and b.const != 0.0:
+                env[op.results[0].uid] = _aff_scale(a, 1.0 / b.const, tname)
+                return True
+            return False
+        return False
+
     def lookup(v):
         if v.block_arg_of is body and v.index < rank:
             return index_value(v.index)
-        return env[v.uid]
+        val = env[v.uid]
+        if isinstance(val, _Aff):
+            val = materialize(val)
+            env[v.uid] = val
+        return val
 
     yielded = None
     for op in body.ops:
+        if fold and op.name in _AFF_OPS and op.results and try_fold(op):
+            continue
         if op.name == "neptune.access":
             k = arg_of_input[op.operands[0].uid]
             env[op.results[0].uid] = access_fn(k, op.attrs["offset"])

@@ -131,7 +131,7 @@ def cg_sharded(
             target2 = jnp.asarray(tol * tol, dtype) * b2
 
             def outer_body(carry):
-                x, p, rr, it, stall = carry
+                x, p, rr, it, stall, best_x, best_rr = carry
                 # ---- one exchange: s-deep strips of (x, p); basis =
                 # [p, Ãp, .., Ã^s p, r, Ãr, .., Ã^{s-1} r] with the TRUE
                 # residual seed r = b̃ - Ã x (residual replacement) ----
@@ -152,18 +152,48 @@ def cg_sharded(
                 # against pAp <= 0 / rr < 0 breakdown), and breakdown
                 # restarts p from the residual (conjugacy is lost anyway).
                 rr_seed = G[s + 1, s + 1]
+                # best-iterate tracking on the TRUSTED seed metric: once a
+                # basis degenerates, in-block steps can pass every Gram
+                # guard (their estimates are noise that LOOKS convergent)
+                # while slowly polluting x — the returned solution is the
+                # best true-residual iterate ever seeded, so late-block
+                # wander cannot destroy the answer.
+                improved = rr_seed < best_rr
+                best_x = jnp.where(improved, x, best_x)
+                best_rr = jnp.where(improved, rr_seed, best_rr)
                 block_on = rr_seed > target2
+
+                # Conjugacy check on the CARRIED search direction: CG's
+                # continuation rests on the exact invariant <r0, p0> =
+                # ||r0||² (r is orthogonal to every earlier search
+                # direction). A p that came out of a degenerate previous
+                # block violates it grossly — and the recurrence below
+                # would then AMPLIFY the garbage component every step
+                # (beta = rr_new/rr_j > 1 growth spiral, observed: +44%
+                # per step on a near-identity operator). Restart p from
+                # the residual instead; the invariant holds to roundoff
+                # on every healthy trajectory, so exact CG equivalence is
+                # untouched (deviation ~eps·||r||·||p|| vs the 0.5·||r0||²
+                # threshold).
+                rp0 = G[s + 1, 0]
+                p_ok = jnp.abs(rp0 - rr_seed) <= 0.5 * rr_seed
 
                 # ---- s CG iterations in replicated coefficient space ----
                 x_c = jnp.zeros((m,), dtype)
                 r_c = jnp.zeros((m,), dtype).at[s + 1].set(1.0)
-                p_c = jnp.zeros((m,), dtype).at[0].set(1.0)
+                e_p = jnp.zeros((m,), dtype).at[0].set(1.0)
+                p_c = jnp.where(p_ok, e_p, r_c)
                 rr_j = rr_seed
                 it_j = it
                 brk = jnp.logical_not(block_on)
-                for _ in range(s):
+                for j_in in range(s):
+                    # an r-seeded (restarted) block has only s-1 valid
+                    # basis-image applications (the r-chain's top-degree
+                    # column is zero in B) — its last slot stays idle
+                    valid = p_ok | jnp.asarray(j_in < s - 1)
                     active = (
-                        jnp.logical_not(brk)
+                        valid
+                        & jnp.logical_not(brk)
                         & (rr_j > target2)
                         & (it_j < maxiter)
                     )
@@ -174,10 +204,18 @@ def cg_sharded(
                     alpha = jnp.where(
                         ok, rr_j / jnp.where(pAp == 0, 1.0, pAp), 0.0
                     )
-                    x_c = x_c + alpha * p_c
-                    r_c = r_c - alpha * w_c
-                    rr_new = jnp.sum(r_c * _mm(G, r_c))
-                    good = ok & (rr_new >= 0)
+                    x_n = x_c + alpha * p_c
+                    r_n = r_c - alpha * w_c
+                    rr_new = jnp.sum(r_n * _mm(G, r_n))
+                    # degenerate-basis guard: a Gram quadratic form can
+                    # stay positive while the step is garbage — an in-block
+                    # residual JUMP of >10x is never a healthy CG step
+                    # (||r|| oscillates, but not like that), so treat it as
+                    # breakdown and ROLL BACK the step instead of letting a
+                    # runaway alpha pollute x
+                    good = ok & (rr_new >= 0) & (rr_new <= 10.0 * rr_j)
+                    x_c = jnp.where(good, x_n, x_c)
+                    r_c = jnp.where(good, r_n, r_c)
                     brk = brk | (active & jnp.logical_not(good))
                     beta = jnp.where(
                         good, rr_new / jnp.where(rr_j == 0, 1.0, rr_j), 0.0
@@ -185,11 +223,8 @@ def cg_sharded(
                     p_c = jnp.where(good, r_c + beta * p_c, p_c)
                     rr_j = jnp.where(good, rr_new, rr_j)
                     # count only fully-good iterations (same convention as
-                    # CA-BiCGStab): an ok-but-degenerate step still moved
-                    # x_c by a valid alpha, but its residual estimate is
-                    # garbage — counting it would skew iters/sec exactly in
-                    # the stagnating cases, and the stall counter needs
-                    # "no good iteration" to mean "no progress"
+                    # CA-BiCGStab): the stall counter needs "no good
+                    # iteration" to mean "no progress"
                     it_j = it_j + good.astype(jnp.int32)
 
                 # breakdown restart: next block's search direction = residual
@@ -204,25 +239,40 @@ def cg_sharded(
                     block_on & jnp.logical_not(made_progress), stall + 1,
                     jnp.int32(0),
                 )
+                # divergence exit: the trusted seed left the best iterate
+                # 1e4x behind — stop wandering (a healthy CG block never
+                # regresses that far; ||r|| oscillation is ~sqrt(kappa))
+                stall = jnp.where(
+                    rr_seed > 1e4 * best_rr, jnp.int32(2), stall
+                )
                 rr_out = jnp.where(block_on, jnp.maximum(rr_j, 0.0), rr_seed)
-                return x, p, rr_out, it_j, stall
+                return x, p, rr_out, it_j, stall, best_x, best_rr
 
             def cond(carry):
-                _x, _p, rr, it, stall = carry
+                _x, _p, rr, it, stall = carry[:5]
                 # two consecutive zero-progress blocks = the coefficient
                 # space is numerically exhausted; stop and report honestly
                 return (it < maxiter) & (rr > target2) & (stall < 2)
 
             x0 = jnp.zeros(nloc, dtype)
-            x, p, rr, it, _stall = lax.while_loop(
+            x, p, rr, it, _stall, best_x, best_rr = lax.while_loop(
                 cond, outer_body,
-                (x0, mp.btl, b2, jnp.int32(0), jnp.int32(0)),
+                (x0, mp.btl, b2, jnp.int32(0), jnp.int32(0),
+                 x0, jnp.asarray(jnp.inf, dtype)),
             )
 
             # honest final report: ONE extra exchanged matvec gives the
             # true preconditioned residual of the returned x (the in-block
-            # Gram estimates cannot resolve below ~sqrt(eps))
-            rr = mp.true_rr(x)
+            # Gram estimates cannot resolve below ~sqrt(eps)). The best-x
+            # fallback is a SAFETY NET only: prefer the final iterate (the
+            # exact-CG-trajectory contract; ||r|| oscillates, so the final
+            # iterate is legitimately not always the minimum) unless it is
+            # pathologically worse than the best seeded one — wandering
+            # past a degenerate basis, not oscillation.
+            rr_cur = mp.true_rr(x)
+            take_cur = rr_cur <= 100.0 * best_rr
+            x = jnp.where(take_cur, x, best_x)
+            rr = jnp.where(take_cur, rr_cur, best_rr)
             # un-transform: x = S y
             if mp.S_loc is not None:
                 x = mp.S_loc * x
