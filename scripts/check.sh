@@ -27,6 +27,7 @@ FAST_TIER=(
   tests/test_fuzz.py
   tests/test_review_regressions.py
   tests/test_review2_regressions.py
+  tests/test_fold.py
 )
 
 if [[ "${1:-}" == "--full" ]]; then
@@ -37,5 +38,7 @@ fi
 
 # one cheap bench row end-to-end: proves the driver's parse target
 # (`{"metric": ..., "vs_baseline": ...}`) still emits on this tree.
-python bench.py --smoke
+# timeout: a wedged TPU tunnel must fail the gate loudly, not hang it
+# (observed: tenant contention spikes stall even the smoke row).
+timeout 600 python bench.py --smoke
 echo "check.sh: OK"
