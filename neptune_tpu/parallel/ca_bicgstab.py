@@ -104,7 +104,8 @@ def bicgstab_sharded(
             one = jnp.asarray(1.0, dtype)
 
             def outer_body(carry):
-                x, p, rhat, rho, alpha, omega, rr, it, stall, fresh = carry
+                (x, p, rhat, rho, alpha, omega, rr, it, stall, fresh,
+                 best_x, best_rr) = carry
                 # one exchange: (2s+1)-deep strips of (x, p); basis =
                 # [p, Ãp, .., Ã^{2s+1} p, r, Ãr, .., Ã^{2s} r] with the
                 # TRUE residual seed r = b̃ - Ã x
@@ -144,6 +145,12 @@ def bicgstab_sharded(
                 # the true residual field (see ca_cg for why the in-block
                 # quadratic forms cannot be trusted near convergence)
                 rr_seed = G_raw[R0, R0]
+                # best-iterate tracking on the trusted seed (same safety
+                # net as ca_cg): late-block wander past a degenerate basis
+                # cannot destroy the returned answer
+                improved = rr_seed < best_rr
+                best_x = jnp.where(improved, x, best_x)
+                best_rr = jnp.where(improved, rr_seed, best_rr)
                 block_on = rr_seed > target2
 
                 # ---- s BiCGStab iterations in (scaled) coefficient
@@ -191,11 +198,15 @@ def bicgstab_sharded(
                     omega_n = jnp.where(
                         ok2, ts / jnp.where(tt == 0, one, tt), 0.0
                     )
-                    x_c = x_c + alpha_n * p_c + omega_n * s_c
+                    x_n = x_c + alpha_n * p_c + omega_n * s_c
                     r_new = s_c - omega_n * t_c
                     rr_new = jnp.sum(r_new * _mm(G, r_new))
                     good = ok2 & (rr_new >= 0)
                     brk = brk | (active & jnp.logical_not(good))
+                    # roll back the half-steps of a breakdown iteration —
+                    # its alpha/omega came from garbage quadratic forms
+                    # and would pollute x (same rollback as ca_cg)
+                    x_c = jnp.where(good, x_n, x_c)
                     r_c = jnp.where(good, r_new, r_c)
                     rho = jnp.where(good, rho_new, rho)
                     alpha = jnp.where(good, alpha_n, alpha)
@@ -222,14 +233,18 @@ def bicgstab_sharded(
                     block_on & jnp.logical_not(made_progress), stall + 1,
                     jnp.int32(0),
                 )
+                # divergence exit on the trusted seed (same as ca_cg)
+                stall = jnp.where(
+                    rr_seed > 1e4 * best_rr, jnp.int32(2), stall
+                )
                 rr_out = jnp.where(block_on, jnp.maximum(rr_j, 0.0), rr_seed)
                 return (
                     x, p, rhat_eff, rho, alpha, omega, rr_out, it_j, stall,
-                    fresh_next,
+                    fresh_next, best_x, best_rr,
                 )
 
             def cond(carry):
-                _x, _p, _rh, _rho, _a, _w, rr, it, stall, _f = carry
+                rr, it, stall = carry[6], carry[7], carry[8]
                 return (it < maxiter) & (rr > target2) & (stall < 2)
 
             x0 = jnp.zeros(nloc, dtype)
@@ -237,13 +252,18 @@ def bicgstab_sharded(
                 x0, jnp.zeros(nloc, dtype), jnp.zeros(nloc, dtype),
                 one, one, one, b2, jnp.int32(0), jnp.int32(0),
                 jnp.asarray(True),
+                x0, jnp.asarray(jnp.inf, dtype),
             )
-            x, p, rhat, rho, alpha, omega, rr, it, _stall, _f = (
-                lax.while_loop(cond, outer_body, init)
-            )
+            (x, p, rhat, rho, alpha, omega, rr, it, _stall, _f,
+             best_x, best_rr) = lax.while_loop(cond, outer_body, init)
 
-            # honest final report: one extra exchanged matvec
+            # honest final report: one extra exchanged matvec; fall back
+            # to the best seeded iterate only when the final x is
+            # pathologically worse (>100x) than it
             rr = mp.true_rr(x)
+            take_cur = rr <= 100.0 * best_rr
+            x = jnp.where(take_cur, x, best_x)
+            rr = jnp.where(take_cur, rr, best_rr)
             if mp.S_loc is not None:
                 x = mp.S_loc * x
             return x, rr, it, target2

@@ -144,7 +144,7 @@ def gmres_sharded(
             target2 = jnp.asarray(tol * tol, dtype) * b2
 
             def outer_body(carry):
-                x, rr_prev, it, done, stall = carry
+                x, rr_prev, it, done, stall, best_x, best_rr = carry
                 # ---- one exchange: (s+1)-deep strips of x; basis =
                 # [r, Ãr, .., Ã^s r], r = b̃ - Ã x (the TRUE residual) ----
                 V = mp.basis_with_replay([x], (s + 1,))
@@ -161,6 +161,12 @@ def gmres_sharded(
                 # is NOT used for control: each cycle's update lands, and
                 # the next cycle's seed measures what it actually achieved.
                 rr_seed = G[0, 0]
+                # best-iterate tracking on the trusted seed (same safety
+                # net as ca_cg): the returned x is never worse than the
+                # best cycle start even if late cycles wander
+                improved = rr_seed < best_rr
+                best_x = jnp.where(improved, x, best_x)
+                best_rr = jnp.where(improved, rr_seed, best_rr)
                 done_now = rr_seed <= target2
 
                 # Column normalization (zero extra communication, same
@@ -242,22 +248,28 @@ def gmres_sharded(
                     jnp.int32(0),
                 )
                 it = it + jnp.where(done_now, 0, s)
-                return x, rr_seed, it, done_now, stall
+                return x, rr_seed, it, done_now, stall, best_x, best_rr
 
             def cond(carry):
-                _x, _rr, it, done, stall = carry
+                _x, _rr, it, done, stall = carry[:5]
                 return jnp.logical_not(done) & (it < maxiter) & (stall < 2)
 
             x0 = jnp.zeros(nloc, dtype)
-            x, rr, it, done, _stall = lax.while_loop(
+            x, rr, it, done, _stall, best_x, best_rr = lax.while_loop(
                 cond, outer_body,
-                (x0, b2 + 1.0, jnp.int32(0), jnp.asarray(False), jnp.int32(0)),
+                (x0, b2 + 1.0, jnp.int32(0), jnp.asarray(False),
+                 jnp.int32(0), x0, jnp.asarray(jnp.inf, dtype)),
             )
 
             # ---- honest final report: when the loop exited mid-cycle
             # (maxiter/stall), rr is the seed of the PREVIOUS x; one extra
-            # exchanged matvec reports the returned x's true residual ----
+            # exchanged matvec reports the returned x's true residual.
+            # Safety net: fall back to the best seeded iterate only when
+            # the final x is pathologically worse (>100x) than it ----
             rr = jnp.where(done, rr, mp.true_rr(x))
+            take_cur = rr <= 100.0 * best_rr
+            x = jnp.where(take_cur, x, best_x)
+            rr = jnp.where(take_cur, rr, best_rr)
             # un-transform: x = S y
             if mp.S_loc is not None:
                 x = mp.S_loc * x
