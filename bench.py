@@ -1265,6 +1265,15 @@ def cg_mixed_entry():
     }
 
 
+def _error_row(metric, e):
+    """A driver-parsable row recording a failure without sinking the run
+    (round-4 postmortem: one TypeError on the hot path produced an rc=1
+    artifact with ZERO rows — every row group is now individually guarded
+    so a single failure costs one row, not the round's perf capture)."""
+    return {"metric": metric, "value": -1, "unit": "error",
+            "vs_baseline": 0.0, "error": repr(e)[:300]}
+
+
 def core_table():
     """One driver-parsable JSON line per BASELINE.md config (VERDICT r2
     weak #2: every number the docs claim should exist as a driver-captured
@@ -1277,49 +1286,47 @@ def core_table():
     lines = []
     rng = np.random.default_rng(0)
 
+    def bar_row_guarded(metric, step_fn, x, cells, K1, K2):
+        try:
+            dt, meta = sweep_with_retries(
+                step_fn, x, cells, K1, K2, bar_cells=TARGET_CELLS
+            )
+            lines.append(_bar_row(metric, cells / dt, meta))
+        except Exception as e:  # never let one config sink the artifact
+            lines.append(_error_row(metric, e))
+
     # 3-D 7-pt heat 256^3 (target >= 80% of HBM roofline)
     m = 256
     x3 = jnp.asarray(rng.standard_normal((m, m, m)).astype(np.float32))
-    dt, meta = sweep_with_retries(
-        make_heat_3d(m), x3, m**3, 50, 250, bar_cells=TARGET_CELLS
+    bar_row_guarded(
+        "3D 7-pt heat cell-updates/sec/chip (256^3 f32)",
+        make_heat_3d(m), x3, m**3, 50, 250,
     )
-    lines.append(_bar_row(
-        "3D 7-pt heat cell-updates/sec/chip (256^3 f32)", m**3 / dt, meta
-    ))
 
     # 2-D 5-pt at an HBM-RESIDENT size (VERDICT r4 next #5: the 1024^2
     # headline is partially cache-resident; 4096^2 = 128 MB arrays is
     # where the 8 B/cell roofline honestly binds)
     n4 = 4096
     x4 = jnp.asarray(rng.standard_normal((n4, n4)).astype(np.float32))
-    dt, meta = sweep_with_retries(
-        make_jacobi_2d(n4), x4, n4 * n4, 50, 250, bar_cells=TARGET_CELLS
-    )
-    lines.append(_bar_row(
+    bar_row_guarded(
         "2D 5-pt Jacobi cell-updates/sec/chip (4096^2 f32, HBM-resident)",
-        n4 * n4 / dt, meta,
-    ))
+        make_jacobi_2d(n4), x4, n4 * n4, 50, 250,
+    )
 
     # 4th-order advection (wide stencil; BASELINE "measured")
     n = 1024
     x2 = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
-    dt, meta = sweep_with_retries(
-        make_advection_2d(n), x2, n * n, 300, 1500, bar_cells=TARGET_CELLS
-    )
-    lines.append(_bar_row(
+    bar_row_guarded(
         "4th-order advection cell-updates/sec/chip (1024^2 f32)",
-        n * n / dt, meta,
-    ))
+        make_advection_2d(n), x2, n * n, 300, 1500,
+    )
 
     # ... and at the HBM-resident size (the 1024^2 row is partially
     # cache-resident like the Jacobi headline)
-    dt, meta = sweep_with_retries(
-        make_advection_2d(n4), x4, n4 * n4, 20, 100, bar_cells=TARGET_CELLS
-    )
-    lines.append(_bar_row(
+    bar_row_guarded(
         "4th-order advection cell-updates/sec/chip (4096^2 f32, HBM-resident)",
-        n4 * n4 / dt, meta,
-    ))
+        make_advection_2d(n4), x4, n4 * n4, 20, 100,
+    )
 
     # matrix-free CG + Jacobi iters/sec, 512^2 Poisson (converging solves)
     import jax as _jax
@@ -1340,33 +1347,38 @@ def core_table():
 
     H = ntp.assemble_matrix(poisson)
     bb = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
-    cm = ntp.get_context().compiled()
-    solve_f = fused_cg(
-        cm.module, "poisson", tol=tol, maxiter=maxit,
-        inv_diag=safe_inv_diag(H.diagonal()),
-    )
+    try:
+        cm = ntp.get_context().compiled()
+        solve_f = fused_cg(
+            cm.module, "poisson", tol=tol, maxiter=maxit,
+            inv_diag=safe_inv_diag(H.diagonal()),
+        )
 
-    @_jax.jit
-    def one(b):
-        x, it, rn = solve_f(b)
-        return x, it, rn
+        @_jax.jit
+        def one(b):
+            x, it, rn = solve_f(b)
+            return x, it, rn
 
-    x, it, rn = one(bb)
-    _ = float(jnp.sum(x))
-    t0 = time.perf_counter()
-    x, it, rn = one(bb)
-    _ = float(jnp.sum(x))
-    total = time.perf_counter() - t0
-    iters = int(it)
-    converged = bool(float(rn) <= tol * float(jnp.linalg.norm(bb))) and iters < maxit
-    lines.append({
-        "metric": "matrix-free CG+Jacobi iters/sec (512^2 Poisson f32, tol 1e-4)",
-        "value": round(iters / total, 0),
-        "unit": "iters/s",
-        "vs_baseline": round(iters / total / 1e5, 3),
-        "iters": iters,
-        "converged": converged,
-    })
+        x, it, rn = one(bb)
+        _ = float(jnp.sum(x))
+        t0 = time.perf_counter()
+        x, it, rn = one(bb)
+        _ = float(jnp.sum(x))
+        total = time.perf_counter() - t0
+        iters = int(it)
+        converged = bool(float(rn) <= tol * float(jnp.linalg.norm(bb))) and iters < maxit
+        lines.append({
+            "metric": "matrix-free CG+Jacobi iters/sec (512^2 Poisson f32, tol 1e-4)",
+            "value": round(iters / total, 0),
+            "unit": "iters/s",
+            "vs_baseline": round(iters / total / 1e5, 3),
+            "iters": iters,
+            "converged": converged,
+        })
+    except Exception as e:  # never let one config sink the artifact
+        lines.append(_error_row(
+            "matrix-free CG+Jacobi iters/sec (512^2 Poisson f32, tol 1e-4)", e
+        ))
 
     try:
         # matrix-free SSOR preconditioning: the iteration-count win vs Jacobi
@@ -1419,36 +1431,46 @@ def core_table():
     # chip; multi-device validated by __graft_entry__.dryrun_multichip)
     from neptune_tpu.parallel import GridMesh, shardmap_opdef
 
-    n = 1024
-    make_jacobi_2d(n)
-    cm = ntp.get_context().compiled()
     gm = GridMesh((1,), ("x",), devices=jax.devices()[:1])
-    mv = shardmap_opdef(cm, "jacobi", gm, backend="jnp")
-    x2 = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
-    dt, meta = sweep_with_retries(
-        mv, x2, n * n, 500, 2500, bar_cells=TARGET_CELLS
-    )
-    lines.append(_bar_row(
-        "sharded fused-strip 2D 5-pt (1024^2 f32, shard_map 1-dev)",
-        n * n / dt, meta,
-    ))
+    try:
+        n = 1024
+        make_jacobi_2d(n)
+        cm = ntp.get_context().compiled()
+        mv = shardmap_opdef(cm, "jacobi", gm, backend="jnp")
+        x2 = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
+        dt, meta = sweep_with_retries(
+            mv, x2, n * n, 500, 2500, bar_cells=TARGET_CELLS
+        )
+        lines.append(_bar_row(
+            "sharded fused-strip 2D 5-pt (1024^2 f32, shard_map 1-dev)",
+            n * n / dt, meta,
+        ))
+    except Exception as e:
+        lines.append(_error_row(
+            "sharded fused-strip 2D 5-pt (1024^2 f32, shard_map 1-dev)", e
+        ))
 
     # multi-chip 3-D stencil path (BASELINE row 5: "multi-chip 3D stencil
     # + GMRES, automatic halo exchange" — same code path on the 1-dev mesh;
     # multi-device execution validated by __graft_entry__.dryrun_multichip)
-    m3 = 256
-    ntp.reset_context()
-    make_heat_3d(m3)
-    cm3 = ntp.get_context().compiled()
-    x3 = jnp.asarray(rng.standard_normal((m3, m3, m3)).astype(np.float32))
-    mv3 = shardmap_opdef(cm3, "heat", gm, backend="jnp")
-    dt, meta = sweep_with_retries(
-        mv3, x3, m3**3, 50, 250, bar_cells=TARGET_CELLS
-    )
-    lines.append(_bar_row(
-        "sharded 3D 7-pt heat (256^3 f32, shard_map fused strips, 1-dev)",
-        m3**3 / dt, meta,
-    ))
+    try:
+        m3 = 256
+        ntp.reset_context()
+        make_heat_3d(m3)
+        cm3 = ntp.get_context().compiled()
+        x3 = jnp.asarray(rng.standard_normal((m3, m3, m3)).astype(np.float32))
+        mv3 = shardmap_opdef(cm3, "heat", gm, backend="jnp")
+        dt, meta = sweep_with_retries(
+            mv3, x3, m3**3, 50, 250, bar_cells=TARGET_CELLS
+        )
+        lines.append(_bar_row(
+            "sharded 3D 7-pt heat (256^3 f32, shard_map fused strips, 1-dev)",
+            m3**3 / dt, meta,
+        ))
+    except Exception as e:
+        lines.append(_error_row(
+            "sharded 3D 7-pt heat (256^3 f32, shard_map fused strips, 1-dev)", e
+        ))
 
     try:
         # s-step CA solvers. The CA trade is K-fold fewer exchange ROUNDS per
@@ -1622,6 +1644,17 @@ if __name__ == "__main__":
         res = full_suite(seed)
         print(json.dumps(dict(res), indent=2), file=sys.stderr)
     elif "--headline-only" not in sys.argv:
-        for line in core_table():
-            print(json.dumps(line))
-    print(json.dumps(headline()))
+        try:
+            for line in core_table():
+                print(json.dumps(line))
+        except Exception as e:  # rows are individually guarded; belt+braces
+            print(json.dumps(_error_row("core_table", e)))
+    # The driver parses the LAST line — it must always be the headline,
+    # and the process must exit 0 (round 4 shipped an rc=1 artifact with
+    # zero rows; that failure mode is structurally closed here).
+    try:
+        print(json.dumps(headline()))
+    except Exception as e:
+        print(json.dumps(_error_row(
+            "2D 5-pt Jacobi cell-updates/sec/chip (1024^2 f32)", e
+        )))
